@@ -1,0 +1,154 @@
+"""State-tensor circuit IR.
+
+The RL observation *is* the circuit: a ``(num_layers, n+6, n)`` array
+(reference: ``environments/environment_qulacs.py:281``):
+
+- rows ``0..n-1``:   CNOT one-hots, ``state[l, targ, ctrl] = 1``
+- rows ``n..n+2``:   rotation one-hots, ``state[l, n+axis, qubit] = 1``
+  with axis 0/1/2 = X/Y/Z
+- rows ``n+3..n+5``: rotation angles, ``state[l, n+3+axis, qubit]``
+
+Gate order within a layer (must match the reference simulator,
+``environments/VQAs/VQE_qulacs.py:12-44``): all CNOTs in row-major
+``(targ, ctrl)`` order, then all rotations in row-major ``(axis, qubit)``
+order.  Angles are stored in qiskit rotation-sign convention (see
+circuits/tape.py); the reference's mirror/negate dance when embedding TN
+circuits (``environment_qulacs.py:285-328``) is unnecessary under a single
+little-endian convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+
+
+class StateTensor:
+    """Host-side wrapper around the (L, n+6, n) circuit encoding."""
+
+    def __init__(self, num_layers: int, n_qubits: int,
+                 data: np.ndarray | None = None):
+        self.num_layers = num_layers
+        self.n = n_qubits
+        if data is None:
+            data = np.zeros((num_layers, n_qubits + 6, n_qubits), dtype=np.float64)
+        self.data = data
+
+    def copy(self) -> "StateTensor":
+        return StateTensor(self.num_layers, self.n, self.data.copy())
+
+    # -- gate placement ----------------------------------------------------
+
+    def place_cnot(self, layer: int, ctrl: int, targ: int) -> None:
+        self.data[layer, targ, ctrl] = 1.0
+
+    def place_rotation(self, layer: int, axis: int, qubit: int,
+                       angle: float = 0.0) -> None:
+        """axis: 0/1/2 = X/Y/Z."""
+        self.data[layer, self.n + axis, qubit] = 1.0
+        self.data[layer, self.n + 3 + axis, qubit] = angle
+
+    # -- views ---------------------------------------------------------------
+
+    @property
+    def thetas(self) -> np.ndarray:
+        """(L, 3, n) angle block."""
+        return self.data[:, self.n + 3:, :]
+
+    @thetas.setter
+    def thetas(self, value: np.ndarray) -> None:
+        self.data[:, self.n + 3:, :] = value
+
+    def rot_positions(self):
+        """Indices of rotation one-hots in reference scan order.
+
+        Returns (layers, axes, qubits) such that zipping them enumerates
+        rotations exactly like ``(state[:, n:n+3] == 1).nonzero()``
+        (``environment_qulacs.py:420``) — row-major over (layer, axis, qubit).
+        """
+        return np.nonzero(self.data[:, self.n:self.n + 3, :] == 1)
+
+    def rot_angles(self) -> np.ndarray:
+        """Flat angle vector at rotation positions in scan order."""
+        ls, axs, qs = self.rot_positions()
+        return self.thetas[ls, axs, qs]
+
+    def set_rot_angles(self, angles: np.ndarray) -> None:
+        ls, axs, qs = self.rot_positions()
+        self.data[ls, self.n + 3 + axs, qs] = angles
+
+    def observation(self, with_angles: bool) -> np.ndarray:
+        """Flattened observation, optionally stripping the angle block."""
+        if with_angles:
+            return self.data.reshape(-1).astype(np.float32)
+        return self.data[:, : self.n + 3].reshape(-1).astype(np.float32)
+
+    # -- conversion ----------------------------------------------------------
+
+    def to_tape(self, capacity: int, rot_capacity: int) -> GateTape:
+        """Lower to a gate tape in reference evaluation order."""
+        n = self.n
+        tape = GateTape(n, capacity, rot_capacity)
+        rot_kinds = (GateKind.RX, GateKind.RY, GateKind.RZ)
+        for l in range(self.num_layers):
+            layer = self.data[l]
+            targs, ctrls = np.nonzero(layer[:n] == 1)
+            for t, c in zip(targs, ctrls):
+                tape.add_cx(int(c), int(t))
+            axes, qubits = np.nonzero(layer[n:n + 3] == 1)
+            for ax, q in zip(axes, qubits):
+                tape.add(rot_kinds[ax], target=int(q),
+                         angle=float(layer[n + 3 + ax, q]))
+        return tape
+
+    def gate_counts(self):
+        """(cnots, rotations, depth) summary of the encoded circuit."""
+        n = self.n
+        cnots = int(np.sum(self.data[:, :n] == 1))
+        rots = int(np.sum(self.data[:, n:n + 3] == 1))
+        level = np.zeros(n, dtype=np.int64)
+        for l in range(self.num_layers):
+            layer = self.data[l]
+            targs, ctrls = np.nonzero(layer[:n] == 1)
+            for t, c in zip(targs, ctrls):
+                m = max(level[t], level[c]) + 1
+                level[t] = m
+                level[c] = m
+            axes, qubits = np.nonzero(layer[n:n + 3] == 1)
+            for _, q in zip(axes, qubits):
+                level[q] += 1
+        return cnots, rots, int(level.max(initial=0))
+
+
+def embed_tape(state: StateTensor, tape: GateTape, zero_params: bool = False,
+               layer_offset: int = 0) -> int:
+    """Embed a warm-start circuit tape into the leading layers of ``state``.
+
+    TPU-native replacement for the reference's fragile qiskit-DAG/qargs
+    string parsing re-embedding (``environment_qulacs.py:285-328``).  Gates
+    are packed depth-wise (one moment per state-tensor layer).  Returns the
+    number of layers consumed (= circuit depth).
+
+    ``zero_params=True`` keeps the structure but zeroes the angles
+    (StructureRL; reference ``environment_qulacs.py:299-302``).
+    """
+    n = state.n
+    level = np.zeros(n, dtype=np.int64)
+    axis_of = {GateKind.RX: 0, GateKind.RY: 1, GateKind.RZ: 2}
+    for g in range(tape.n_gates):
+        kind = GateKind(tape.kind[g])
+        if kind == GateKind.CX:
+            c, t = int(tape.cq[g]), int(tape.tq[g])
+            m = max(level[c], level[t])
+            state.place_cnot(layer_offset + m, c, t)
+            level[c] = m + 1
+            level[t] = m + 1
+        elif kind in axis_of:
+            q = int(tape.tq[g])
+            angle = 0.0 if zero_params else float(tape.angles[tape.angle_slot[g]])
+            state.place_rotation(layer_offset + level[q], axis_of[kind], q, angle)
+            level[q] += 1
+        elif kind != GateKind.NONE:
+            raise ValueError(f"cannot embed gate kind {kind}")
+    return int(level.max(initial=0))

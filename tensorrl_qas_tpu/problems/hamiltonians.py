@@ -1,0 +1,180 @@
+"""Problem Hamiltonians and .npz interchange.
+
+Supports the reference's .npz schema verbatim (keys ``hamiltonian`` (dense,
+big-endian/kron order), ``eigvals``, ``weights``, ``paulis``,
+``energy_shift`` — ``dmrg-to-qc/heisenberg_model.py:91-111``,
+``dmrg-to-qc/making_molecules.py:105-140``) so existing molecular data files
+load unchanged, plus our own generators for spin models.
+
+Internally everything is little-endian Pauli-sum form (see
+sim/expectation.py); the stored dense matrix is only used as an oracle and
+is endianness-converted at load time (the reference instead calls qiskit's
+``reverse_qargs`` at ``environment_qulacs_TN_notin_agent.py:162``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+
+import numpy as np
+
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+from tensorrl_qas_tpu.utils.bits import bit_reversal_permutation
+
+# Where to look for problem data (.npz) and warm-start circuits (.qasm).
+# First match wins; $TRLQAS_DATA_DIR takes priority so the same configs run
+# against generated data, a repo-local data/ dir, or a reference checkout.
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+DATA_SEARCH_PATHS = [
+    os.environ.get("TRLQAS_DATA_DIR", ""),
+    str(_REPO_ROOT / "data"),
+    "/root/reference/dmrg-to-qc",
+]
+
+
+@dataclasses.dataclass
+class Problem:
+    """A loaded Hamiltonian problem instance."""
+
+    name: str
+    n_qubits: int
+    pauli: PauliSum
+    eigvals: np.ndarray
+    energy_shift: float
+    dense: np.ndarray | None = None  # little-endian, oracle only
+
+    @property
+    def min_eig(self) -> float:
+        return float(np.min(self.eigvals))
+
+    @property
+    def max_eig(self) -> float:
+        return float(np.max(self.eigvals))
+
+
+def heisenberg_hamiltonian(n: int):
+    """XXX Heisenberg chain + uniform Z field (reference
+    ``dmrg-to-qc/heisenberg_model.py:7-74``): sum_i XX+YY+ZZ + sum_i Z_i.
+
+    Returns (paulis, weights) in the reference string convention.
+    """
+    paulis, weights = [], []
+    for i in range(n - 1):
+        # reference strings index the chain left-to-right from char 0, which
+        # we mirror here: site i of the chain = qubit n-1-i in little-endian.
+        for ch in "XYZ":
+            s = ["I"] * n
+            s[i] = ch
+            s[i + 1] = ch
+            paulis.append("".join(s))
+            weights.append(1.0)
+    for i in range(n):
+        s = ["I"] * n
+        s[i] = "Z"
+        paulis.append("".join(s))
+        weights.append(1.0)
+    return paulis, weights
+
+
+def tfim_hamiltonian(n: int, j: float = 1.0, h: float = 0.05):
+    """Transverse-field Ising chain: -J sum ZZ - h sum X (open chain)."""
+    paulis, weights = [], []
+    for i in range(n - 1):
+        s = ["I"] * n
+        s[i] = "Z"
+        s[i + 1] = "Z"
+        paulis.append("".join(s))
+        weights.append(-j)
+    for i in range(n):
+        s = ["I"] * n
+        s[i] = "X"
+        paulis.append("".join(s))
+        weights.append(-h)
+    return paulis, weights
+
+
+def dense_from_paulis(paulis, weights) -> np.ndarray:
+    """Dense matrix in the reference's kron order (char 0 = MSB)."""
+    n = len(paulis[0])
+    ps = PauliSum.from_strings(paulis, weights, n_qubits=n)
+    dense_le = ps.to_dense()
+    perm = bit_reversal_permutation(n)
+    return dense_le[np.ix_(perm, perm)]
+
+
+def save_problem_npz(path: str, paulis, weights, energy_shift: float = 0.0,
+                     with_dense: bool = True) -> None:
+    """Emit the reference .npz schema for a Pauli-sum problem."""
+    n = len(paulis[0])
+    out = {
+        "weights": np.asarray(weights, dtype=np.float64),
+        "paulis": np.asarray(paulis),
+        "energy_shift": energy_shift,
+    }
+    ps = PauliSum.from_strings(paulis, weights, n_qubits=n)
+    dense_le = ps.to_dense()
+    eigvals = np.linalg.eigvalsh(dense_le)
+    out["eigvals"] = eigvals
+    if with_dense:
+        perm = bit_reversal_permutation(n)
+        out["hamiltonian"] = dense_le[np.ix_(perm, perm)]
+    np.savez(path, **out)
+
+
+def resolve_data_file(relpath: str) -> str:
+    """Locate a data file across the search paths."""
+    for base in DATA_SEARCH_PATHS:
+        if not base:
+            continue
+        cand = os.path.join(base, relpath)
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"{relpath} not found under any of {DATA_SEARCH_PATHS}; set "
+        "TRLQAS_DATA_DIR or run scripts/generate_data.py"
+    )
+
+
+def problem_npz_name(ham_type: str, n_qubits: int, geometry: str = "",
+                     mapping: str = "jordan_wigner") -> str:
+    """Reference file-naming scheme (``environment_qulacs.py:100-104``)."""
+    if ham_type in ("heisenberg",) or ham_type.startswith("tfim"):
+        return f"mol_data/{ham_type}_{n_qubits}q.npz"
+    geom = geometry.replace(" ", "_")
+    return f"mol_data/{ham_type}_{n_qubits}q_geom_{geom}_{mapping}.npz"
+
+
+def load_problem(ham_type: str, n_qubits: int, geometry: str = "",
+                 mapping: str = "jordan_wigner",
+                 keep_dense: bool = True) -> Problem:
+    """Load a problem from the .npz corpus (reference schema)."""
+    path = resolve_data_file(problem_npz_name(ham_type, n_qubits, geometry, mapping))
+    raw = np.load(path, allow_pickle=True)
+    paulis = [str(p) for p in raw["paulis"]]
+    weights = np.asarray(raw["weights"], dtype=np.float64)
+    ps = PauliSum.from_strings(paulis, weights, n_qubits=n_qubits)
+    dense = None
+    if keep_dense and "hamiltonian" in raw.files and n_qubits <= 12:
+        perm = bit_reversal_permutation(n_qubits)
+        dense = np.asarray(raw["hamiltonian"])[np.ix_(perm, perm)]
+    # Use the STORED eigvals: the reference defines min_eig/max_eig from them
+    # (``environment_qulacs.py:106-112``), and for some files they are partial
+    # sparse-solver output — recomputing could silently change the reward
+    # normalization and break parity.
+    eigvals = np.real(np.asarray(raw["eigvals"]).astype(np.complex128))
+    shift = float(raw["energy_shift"]) if "energy_shift" in raw.files else 0.0
+    return Problem(name=f"{ham_type}_{n_qubits}q", n_qubits=n_qubits,
+                   pauli=ps, eigvals=eigvals, energy_shift=shift, dense=dense)
+
+
+def warmstart_qasm_name(ham_type: str, n_qubits: int, tn_bond: int,
+                        geometry: str = "",
+                        mapping: str = "jordan_wigner") -> str:
+    """Reference warm-start circuit naming (``environment_qulacs.py:75-82``)."""
+    if ham_type in ("heisenberg",) or ham_type.startswith("tfim"):
+        return f"init_state_circ/init_{ham_type}_{n_qubits}q_TNbond{tn_bond}.qasm"
+    geom = geometry.replace(" ", "_")
+    return (f"init_state_circ/init_{ham_type}_{n_qubits}q_geom_{geom}_"
+            f"{mapping}_TNbond{tn_bond}.qasm")

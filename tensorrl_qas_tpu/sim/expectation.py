@@ -1,0 +1,126 @@
+"""Hamiltonian expectation values.
+
+Primary path: Pauli-sum expectation `sum_k w_k <psi|P_k|psi>` computed
+term-wise with on-the-fly phases — O(K * 2^n) time, O(K) Hamiltonian memory.
+This replaces the reference's dense 2^n x 2^n matvec
+(``environments/VQAs/VQE_qulacs.py:85``), which is O(4^n) in time and memory
+and is what capped it at ~20 qubits.
+
+For a Pauli string P with X-mask x, Y-mask y, Z-mask z (disjoint bit masks in
+little-endian qubit order) and flip mask f = x | y:
+
+    (P psi)[i] = (-i)^{|y|} * (-1)^{popcount(i & (y|z))} * psi[i ^ f]
+
+so <psi|P|psi> reduces to a signed gather-dot.  Verified against the dense
+oracle in tests/test_expectation.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrl_qas_tpu.utils.bits import parity
+
+
+@dataclasses.dataclass(frozen=True)
+class PauliSum:
+    """Static Pauli-sum Hamiltonian in mask form (host-built, device-used).
+
+    Attributes:
+      n_qubits: number of qubits.
+      weights: (K,) real coefficients.
+      flip: (K,) int32, x|y mask per term (amplitude index XOR).
+      sign_mask: (K,) int32, y|z mask per term (phase parity).
+      iphase: (K,) complex, (-i)^{#Y} global phase per term.
+    """
+
+    n_qubits: int
+    weights: np.ndarray
+    flip: np.ndarray
+    sign_mask: np.ndarray
+    iphase: np.ndarray
+
+    @staticmethod
+    def from_strings(paulis, weights, n_qubits: int | None = None,
+                     char0_is_qubit0: bool = True) -> "PauliSum":
+        """Build from strings like 'XXIII'.
+
+        ``char0_is_qubit0=True``: string position j acts on circuit qubit j
+        (little-endian bit j).  This matches how the reference relates the
+        stored Pauli strings to its qiskit circuits: the stored dense matrix
+        puts char 0 at the most-significant kron slot
+        (``dmrg-to-qc/heisenberg_model.py:22-33``) and the env bit-reverses
+        it with ``Operator(...).reverse_qargs()`` before pairing it with
+        little-endian statevectors
+        (``environment_qulacs_TN_notin_agent.py:162``), which lands char j
+        on qubit j.
+        """
+        paulis = list(paulis)
+        if n_qubits is None:
+            n_qubits = len(paulis[0])
+        K = len(paulis)
+        flip = np.zeros(K, dtype=np.int32)
+        sign = np.zeros(K, dtype=np.int32)
+        ny = np.zeros(K, dtype=np.int64)
+        for k, s in enumerate(paulis):
+            if len(s) != n_qubits:
+                raise ValueError(f"pauli string {s!r} length != {n_qubits}")
+            for j, ch in enumerate(s.upper()):
+                q = j if char0_is_qubit0 else (n_qubits - 1 - j)
+                if ch == "I":
+                    continue
+                if ch in "XY":
+                    flip[k] |= 1 << q
+                if ch in "YZ":
+                    sign[k] |= 1 << q
+                if ch == "Y":
+                    ny[k] += 1
+        iphase = (-1j) ** (ny % 4)
+        return PauliSum(n_qubits, np.asarray(weights, dtype=np.float64),
+                        flip, sign, iphase.astype(np.complex128))
+
+    def to_dense(self) -> np.ndarray:
+        """Dense little-endian matrix (oracle; n <= ~12 only)."""
+        dim = 1 << self.n_qubits
+        idx = np.arange(dim)
+        H = np.zeros((dim, dim), dtype=np.complex128)
+        for k in range(len(self.weights)):
+            col = idx ^ self.flip[k]
+            v = np.bitwise_count(idx & self.sign_mask[k]) & 1
+            phase = self.iphase[k] * np.where(v, -1.0, 1.0)
+            H[idx, col] += self.weights[k] * phase
+        return H
+
+    def device_arrays(self, dtype=jnp.complex64):
+        w = jnp.asarray(self.weights,
+                        dtype=jnp.float32 if dtype == jnp.complex64 else jnp.float64)
+        return (w, jnp.asarray(self.flip), jnp.asarray(self.sign_mask),
+                jnp.asarray(self.iphase, dtype=dtype))
+
+
+def pauli_expectation(psi, weights, flip, sign_mask, iphase):
+    """Real expectation <psi|H|psi> for a Pauli-sum in mask form.
+
+    psi: (..., 2^n); weights/flip/sign_mask/iphase: (K,).  Returns (...).
+    """
+    dim = psi.shape[-1]
+    idx = jnp.arange(dim, dtype=jnp.int32)
+
+    def term(w, f, sm, ip):
+        signs = 1.0 - 2.0 * parity(idx & sm).astype(jnp.float32)
+        permuted = jnp.take(psi, idx ^ f, axis=-1)
+        acc = jnp.sum(jnp.conj(psi) * (signs.astype(psi.dtype) * permuted),
+                      axis=-1)
+        return w * jnp.real(ip * acc)
+
+    contribs = jax.vmap(term)(weights, flip, sign_mask, iphase)  # (K, ...)
+    return jnp.sum(contribs, axis=0)
+
+
+def dense_expectation(psi, hmat):
+    """<psi|H|psi> against a dense little-endian matrix (parity oracle)."""
+    return jnp.real(jnp.einsum("...i,ij,...j->...", jnp.conj(psi), hmat, psi))

@@ -1,0 +1,120 @@
+"""Golden-pair tests against the reference's shipped data files.
+
+The stored .npz (dense Hamiltonian + pauli strings) and .qasm warm-start
+circuits provide ready-made oracles (SURVEY.md section 4): our Pauli-mask
+Hamiltonian must reproduce the stored dense matrix after endianness
+conversion, and the warm-start circuit's energy must land near the DMRG
+ground state.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tensorrl_qas_tpu.circuits.qasm import dump_qasm, load_qasm_tape, parse_qasm
+from tensorrl_qas_tpu.problems.hamiltonians import (
+    heisenberg_hamiltonian,
+    load_problem,
+    resolve_data_file,
+    save_problem_npz,
+    tfim_hamiltonian,
+    warmstart_qasm_name,
+)
+from tensorrl_qas_tpu.sim import apply_tape, dense_expectation, pauli_expectation, zero_state
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+from tensorrl_qas_tpu.utils.bits import bit_reversal_permutation
+
+
+def _have(relpath):
+    try:
+        resolve_data_file(relpath)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def test_heisenberg_generator_matches_reference_npz(tmp_path):
+    paulis, weights = heisenberg_hamiltonian(5)
+    if _have("mol_data/heisenberg_5q.npz"):
+        raw = np.load(resolve_data_file("mol_data/heisenberg_5q.npz"),
+                      allow_pickle=True)
+        assert [str(p) for p in raw["paulis"]] == paulis
+        np.testing.assert_allclose(raw["weights"], weights)
+        ps = PauliSum.from_strings(paulis, weights, 5)
+        perm = bit_reversal_permutation(5)
+        np.testing.assert_allclose(ps.to_dense(),
+                                   raw["hamiltonian"][np.ix_(perm, perm)],
+                                   atol=1e-12)
+    # round-trip through our npz writer
+    save_problem_npz(str(tmp_path / "heisenberg_5q.npz"), paulis, weights)
+    os.environ["TRLQAS_DATA_DIR"] = ""
+    raw2 = np.load(tmp_path / "heisenberg_5q.npz", allow_pickle=True)
+    assert set(raw2.files) >= {"hamiltonian", "eigvals", "weights", "paulis"}
+
+
+@pytest.mark.skipif(not _have("mol_data/heisenberg_5q.npz"),
+                    reason="reference data not available")
+def test_load_problem_heisenberg():
+    prob = load_problem("heisenberg", 5)
+    assert prob.n_qubits == 5
+    assert prob.min_eig == pytest.approx(-8.7115450, abs=1e-5)
+    # pauli-sum vs stored dense on random states
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=32) + 1j * rng.normal(size=32)
+    psi /= np.linalg.norm(psi)
+    e1 = float(pauli_expectation(jnp.asarray(psi),
+                                 *prob.pauli.device_arrays(jnp.complex128)))
+    e2 = float(dense_expectation(jnp.asarray(psi), jnp.asarray(prob.dense)))
+    assert e1 == pytest.approx(e2, abs=1e-10)
+
+
+@pytest.mark.skipif(not _have(warmstart_qasm_name("heisenberg", 5, 2)),
+                    reason="reference data not available")
+def test_warmstart_circuit_energy():
+    """The shipped TN circuit must approximate the DMRG ground state."""
+    prob = load_problem("heisenberg", 5)
+    tape = load_qasm_tape(resolve_data_file(warmstart_qasm_name("heisenberg", 5, 2)))
+    psi = apply_tape(zero_state(5, jnp.complex128),
+                     *map(jnp.asarray, tape.arrays()), jnp.asarray(tape.x0()))
+    # unitarity
+    assert float(jnp.sum(jnp.abs(psi) ** 2)) == pytest.approx(1.0, abs=1e-10)
+    e = float(pauli_expectation(psi, *prob.pauli.device_arrays(jnp.complex128)))
+    # chi=2 brickwork fit of the ground state: should be within ~0.2 Ha
+    assert e < prob.min_eig + 0.5
+    assert e >= prob.min_eig - 1e-9
+
+
+def test_qasm_roundtrip(tmp_path):
+    text = """OPENQASM 2.0;
+include "qelib1.inc";
+qreg q[3];
+rz(-3*pi/2) q[0];
+ry(1.25) q[1];
+cx q[0],q[2];
+rx(-0.5e-1) q[2];
+"""
+    n, gates = parse_qasm(text)
+    assert n == 3
+    assert gates[0] == ("rz", [0], pytest.approx(-3 * np.pi / 2))
+    assert gates[2] == ("cx", [0, 2], None)
+    from tensorrl_qas_tpu.circuits.tape import tape_from_gate_list
+    tape = tape_from_gate_list(n, gates)
+    text2 = dump_qasm(tape)
+    n2, gates2 = parse_qasm(text2)
+    assert n2 == n
+    assert len(gates2) == len(gates)
+    for (g1, q1, a1), (g2, q2, a2) in zip(gates, gates2):
+        assert (g1, q1) == (g2, q2)
+        if a1 is not None:
+            assert a1 == pytest.approx(a2)
+
+
+def test_tfim_generator():
+    paulis, weights = tfim_hamiltonian(4, j=1.0, h=0.05)
+    ps = PauliSum.from_strings(paulis, weights, 4)
+    dense = ps.to_dense()
+    np.testing.assert_allclose(dense, dense.conj().T, atol=1e-12)
+    assert len(paulis) == 3 + 4
