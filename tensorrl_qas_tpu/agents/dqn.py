@@ -1,0 +1,226 @@
+"""Double-DQN agent family (Flax/Optax), jitted act + train step.
+
+Capability-parity with the reference agents (``agents/DeepQ.py:14-155``,
+``agents/DeepQNstep.py:13-55``, ``agents/DeepQ_restricted.py``):
+
+- epsilon-greedy policy over a masked action space (illegal ids -> -inf),
+- per-step discount gamma = round(final_gamma^(1/num_layers), 2)
+  (``DeepQ.py:55`` — including the reference's 2-decimal rounding, which
+  changes learning dynamics and must match),
+- double-DQN TD targets (policy-net argmax, target-net evaluation),
+- SmoothL1 (Huber) loss + Adam,
+- hard target-net sync every ``update_target_net`` replays,
+- epsilon decay per replay call,
+- uniform / prioritized / n-step replay selected by config,
+- heavy-hex restricted action dictionaries via ``topology`` (the reference
+  ships separate *_restricted agent files; here it is the same class).
+
+The train step is one compiled XLA program: batch upload, forward x3,
+targets, loss, Adam update all fuse on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tensorrl_qas_tpu.circuits.actions import action_dictionary
+from tensorrl_qas_tpu.models.qnet import QNetwork
+from tensorrl_qas_tpu.agents.replay import (
+    NStepReplayMemory,
+    PrioritizedReplayMemory,
+    ReplayMemory,
+)
+
+
+def _huber(pred, target):
+    """SmoothL1 with beta=1 (torch default)."""
+    d = pred - target
+    ad = jnp.abs(d)
+    return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+
+class DQN:
+    """Double DQN with uniform or prioritized replay."""
+
+    def __init__(self, conf: dict, action_size: int, state_size: int,
+                 seed: int = 0):
+        env_c, agent_c = conf["env"], conf["agent"]
+        self.num_qubits = env_c["num_qubits"]
+        self.num_layers = env_c["num_layers"]
+        self.action_size = action_size
+        self.final_gamma = agent_c["final_gamma"]
+        self.epsilon = float(agent_c.get("init_epsilon", 1.0))
+        self.epsilon_min = agent_c["epsilon_min"]
+        self.epsilon_decay = agent_c["epsilon_decay"]
+        self.update_target_net = agent_c["update_target_net"]
+        self.prioritized_replay = int(agent_c.get("priotitized_replay", 0))
+        self.with_angles = int(agent_c.get("angles", 0))
+
+        self.memory_reset_switch = agent_c.get("memory_reset_switch", False)
+        self.memory_reset_threshold = agent_c.get("memory_reset_threshold", False)
+        self.memory_reset_counter = 0 if self.memory_reset_switch else False
+
+        # observation size: strip angle block, optionally append energy and
+        # threshold scalars (reference ``DeepQ.py:43-46``)
+        s = state_size
+        if not self.with_angles:
+            s -= self.num_layers * self.num_qubits * 3
+        if agent_c.get("en_state", 0):
+            s += 1
+        if agent_c.get("threshold_in_state", 0):
+            s += 1
+        self.state_size = s
+
+        topology = env_c.get("topology", "all_to_all")
+        self.translate = action_dictionary(self.num_qubits, topology)
+        self.rev_translate = action_dictionary(self.num_qubits, topology,
+                                               reverted=True)
+
+        # per-step discount; the reference rounds to 2 decimals (DeepQ.py:55)
+        self.gamma = float(np.round(self.final_gamma ** (1.0 / self.num_layers), 2))
+
+        self.model = QNetwork(hidden=tuple(agent_c["neurons"]),
+                              n_actions=action_size,
+                              dropout=float(agent_c.get("dropout", 0.0)))
+        self.rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        self.params = self.model.init(key, jnp.zeros((1, self.state_size)))
+        self.target_params = jax.tree.map(jnp.copy, self.params)
+        self.optimizer = optax.adam(agent_c["learning_rate"])
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_counter = 0
+
+        memory_size = agent_c["memory_size"]
+        if self.prioritized_replay:
+            self.memory = PrioritizedReplayMemory(memory_size, self.state_size,
+                                                  seed=seed + 1)
+        else:
+            self.memory = ReplayMemory(memory_size, self.state_size,
+                                       seed=seed + 1)
+
+        self._qvals = jax.jit(
+            lambda p, x: self.model.apply(p, x, deterministic=True))
+        self._train = jax.jit(self._train_step)
+
+    # -- acting --------------------------------------------------------------
+
+    def act(self, state: np.ndarray, illegal: list[int]):
+        """epsilon-greedy with illegal-action masking
+        (reference ``DeepQ.py:76-89``)."""
+        if self.rng.random() <= self.epsilon:
+            a = int(self.rng.integers(self.action_size))
+            while a in illegal:
+                a = int(self.rng.integers(self.action_size))
+            return a, True
+        q = np.asarray(self._qvals(self.params, state[None, :])[0])
+        if illegal:
+            q[np.asarray(illegal, dtype=np.int64)] = -np.inf
+        return int(np.argmax(q)), False
+
+    def remember(self, state, action, reward, next_state, done) -> None:
+        self.memory.push(state, action, reward, next_state, done)
+
+    # -- learning --------------------------------------------------------------
+
+    def _train_step(self, params, target_params, opt_state,
+                    states, actions, rewards, next_states, dones, weights):
+        def loss_fn(p):
+            q = self.model.apply(p, states, deterministic=True)
+            q_sa = jnp.take_along_axis(q, actions[:, None], axis=1)[:, 0]
+            # double DQN: policy net picks a', target net evaluates it
+            next_q_policy = self.model.apply(p, next_states, deterministic=True)
+            a_star = jnp.argmax(next_q_policy, axis=1)
+            next_q_target = self.model.apply(target_params, next_states,
+                                             deterministic=True)
+            q_next = jnp.take_along_axis(next_q_target, a_star[:, None],
+                                         axis=1)[:, 0]
+            q_next = jax.lax.stop_gradient(q_next)
+            target = rewards + self.gamma * q_next * (1.0 - dones)
+            td = target - q_sa
+            loss = jnp.mean(_huber(q_sa * weights, target * weights))
+            return loss, jnp.abs(td)
+
+        (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, td
+
+    def _sample(self, batch_size: int):
+        if self.prioritized_replay:
+            idx, batch, weights = self.memory.sample(batch_size,
+                                                     frame_idx=self.step_counter)
+            return idx, batch, weights
+        batch = self.memory.sample(batch_size)
+        return None, batch, np.float32(1.0)
+
+    def replay(self, batch_size: int) -> float:
+        if self.step_counter % self.update_target_net == 0:
+            self.target_params = jax.tree.map(jnp.copy, self.params)
+        self.step_counter += 1
+
+        idx, batch, weights = self._sample(batch_size)
+        states, actions, rewards, next_states, dones = batch
+        self.params, self.opt_state, loss, td = self._train(
+            self.params, self.target_params, self.opt_state,
+            jnp.asarray(states), jnp.asarray(actions), jnp.asarray(rewards),
+            jnp.asarray(next_states), jnp.asarray(dones), jnp.asarray(weights))
+
+        if idx is not None:
+            self.memory.update_priorities(idx, np.asarray(td))
+
+        if self.epsilon > self.epsilon_min:
+            self.epsilon = max(self.epsilon * self.epsilon_decay,
+                               self.epsilon_min)
+        return float(loss)
+
+    # -- checkpointing ------------------------------------------------------------
+
+    def state_dict(self):
+        return {
+            "params": jax.device_get(self.params),
+            "target_params": jax.device_get(self.target_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "epsilon": self.epsilon,
+            "step_counter": self.step_counter,
+        }
+
+    def load_state_dict(self, d):
+        self.params = jax.tree.map(jnp.asarray, d["params"])
+        self.target_params = jax.tree.map(jnp.asarray, d["target_params"])
+        self.opt_state = jax.tree.map(
+            jnp.asarray, d["opt_state"],
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        self.epsilon = float(d["epsilon"])
+        self.step_counter = int(d["step_counter"])
+
+
+class DQN_Nstep(DQN):
+    """DQN with n-step returns (reference ``agents/DeepQNstep.py``)."""
+
+    def __init__(self, conf, action_size, state_size, seed: int = 0):
+        super().__init__(conf, action_size, state_size, seed)
+        self.prioritized_replay = 0
+        self.memory = NStepReplayMemory(conf["agent"]["memory_size"],
+                                        self.state_size,
+                                        conf["agent"]["n_step"], self.gamma,
+                                        seed=seed + 1)
+
+
+_AGENT_CLASSES = {"DQN": DQN, "DQN_Nstep": DQN_Nstep}
+
+
+def make_agent(conf: dict, action_size: int, state_size: int, seed: int = 0):
+    """Factory keyed by the config's ``agent_class`` (the reference resolves
+    ``agents.__dict__[agent_type].__dict__[agent_class]`` by reflection,
+    ``TensorRL_fixed_noiseless.py:236``; the *_restricted agent variants
+    collapse into ``topology`` here)."""
+    name = conf["agent"]["agent_class"]
+    if name not in _AGENT_CLASSES:
+        raise ValueError(f"unknown agent_class {name!r}; "
+                         f"available: {sorted(_AGENT_CLASSES)}")
+    return _AGENT_CLASSES[name](conf, action_size, state_size, seed=seed)

@@ -1,0 +1,151 @@
+"""Experience replay buffers.
+
+Array-backed (preallocated numpy ring buffers, O(1) push, vectorized batch
+assembly) rather than the reference's Python list of namedtuples
+(``agents/DeepQ.py:158-262``) — sampled batches upload to the device as
+single contiguous arrays.
+
+Three variants mirroring the reference capability matrix:
+uniform, prioritized (alpha-priorities + beta-annealed importance weights),
+and n-step (reward folding at push time, ``agents/DeepQNstep.py:59-99``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+
+class ReplayMemory:
+    """Uniform ring buffer."""
+
+    def __init__(self, capacity: int, state_size: int, seed: int = 0):
+        self.capacity = capacity
+        self.state_size = state_size
+        self.rng = np.random.default_rng(seed)
+        self._alloc()
+
+    def _alloc(self):
+        c, s = self.capacity, self.state_size
+        self.states = np.zeros((c, s), dtype=np.float32)
+        self.next_states = np.zeros((c, s), dtype=np.float32)
+        self.actions = np.zeros(c, dtype=np.int32)
+        self.rewards = np.zeros(c, dtype=np.float32)
+        self.dones = np.zeros(c, dtype=np.float32)
+        self.position = 0
+        self.size = 0
+
+    def push(self, state, action, reward, next_state, done) -> None:
+        p = self.position
+        self.states[p] = state
+        self.actions[p] = action
+        self.rewards[p] = reward
+        self.next_states[p] = next_state
+        self.dones[p] = done
+        self.position = (p + 1) % self.capacity
+        self.size = min(self.size + 1, self.capacity)
+
+    def sample(self, batch_size: int):
+        idx = self.rng.choice(self.size, size=batch_size, replace=False)
+        return (self.states[idx], self.actions[idx], self.rewards[idx],
+                self.next_states[idx], self.dones[idx])
+
+    def __len__(self) -> int:
+        return self.size
+
+    def clean_memory(self) -> None:
+        self._alloc()
+
+    # -- checkpointing -------------------------------------------------------
+
+    def state_dict(self):
+        n = self.size
+        return {"states": self.states[:n], "actions": self.actions[:n],
+                "rewards": self.rewards[:n], "next_states": self.next_states[:n],
+                "dones": self.dones[:n], "position": self.position,
+                "size": n}
+
+    def load_state_dict(self, d):
+        n = int(d["size"])
+        self._alloc()
+        self.states[:n] = d["states"]
+        self.actions[:n] = d["actions"]
+        self.rewards[:n] = d["rewards"]
+        self.next_states[:n] = d["next_states"]
+        self.dones[:n] = d["dones"]
+        self.position = int(d["position"]) % self.capacity
+        self.size = n
+
+
+class PrioritizedReplayMemory(ReplayMemory):
+    """alpha-prioritized sampling with beta-annealed IS weights
+    (reference ``agents/DeepQ.py:186-262``)."""
+
+    def __init__(self, capacity: int, state_size: int, seed: int = 0,
+                 alpha: float = 0.6, beta_start: float = 0.4,
+                 beta_frames: int = 100000):
+        super().__init__(capacity, state_size, seed)
+        self.alpha = alpha
+        self.beta_start = beta_start
+        self.beta_frames = beta_frames
+        self.priorities = np.zeros(capacity, dtype=np.float32)
+
+    def push(self, state, action, reward, next_state, done) -> None:
+        max_p = self.priorities[: self.size].max() if self.size else 1.0
+        self.priorities[self.position] = max_p
+        super().push(state, action, reward, next_state, done)
+
+    def sample(self, batch_size: int, frame_idx: int = 0):
+        pri = self.priorities[: self.size]
+        probs = pri ** self.alpha
+        probs = probs / probs.sum()
+        idx = self.rng.choice(self.size, size=batch_size, p=probs)
+        beta = min(1.0, self.beta_start
+                   + frame_idx * (1.0 - self.beta_start) / self.beta_frames)
+        weights = (self.size * probs[idx]) ** (-beta)
+        weights = (weights / weights.max()).astype(np.float32)
+        batch = (self.states[idx], self.actions[idx], self.rewards[idx],
+                 self.next_states[idx], self.dones[idx])
+        return idx, batch, weights
+
+    def update_priorities(self, idx, td_errors, epsilon: float = 1e-5) -> None:
+        self.priorities[idx] = np.abs(np.asarray(td_errors)).reshape(-1) + epsilon
+
+    def clean_memory(self) -> None:
+        super().clean_memory()
+        self.priorities = np.zeros(self.capacity, dtype=np.float32)
+
+
+class NStepReplayMemory(ReplayMemory):
+    """n-step return folding at push time
+    (reference ``agents/DeepQNstep.py:59-99``): the stored transition is
+    (s_t, a_t, sum_k gamma^k r_{t+k}, s_{t+n}, done) with early-termination
+    cut at the first done inside the window."""
+
+    def __init__(self, capacity: int, state_size: int, n_step: int,
+                 gamma: float, seed: int = 0):
+        super().__init__(capacity, state_size, seed)
+        self.n_step = n_step
+        self.gamma = gamma
+        self.window: deque = deque(maxlen=n_step)
+
+    def push(self, state, action, reward, next_state, done) -> None:
+        self.window.append((state, action, reward, next_state, done))
+        if len(self.window) < self.n_step:
+            return
+        reward_n, next_n, done_n = self._fold()
+        s0, a0 = self.window[0][0], self.window[0][1]
+        super().push(s0, a0, reward_n, next_n, done_n)
+
+    def _fold(self):
+        r, next_n, done_n = self.window[-1][2], self.window[-1][3], self.window[-1][4]
+        for _, _, rwd, nxt, dn in reversed(list(self.window)[:-1]):
+            r = self.gamma * r * (1 - dn) + rwd
+            if dn:
+                next_n, done_n = nxt, dn
+        return r, next_n, done_n
+
+    def clean_memory(self) -> None:
+        super().clean_memory()
+        self.window = deque(maxlen=self.n_step)

@@ -1,0 +1,164 @@
+"""Per-step variational angle optimization.
+
+The reference re-optimizes *all* circuit angles with host-side COBYLA after
+every environment step (``environment_qulacs.py:220-225, 417-445``,
+``maxiter = global_iters``).  That is sequential, variable-length, and pays
+a Python->C++ qulacs boundary per function evaluation.
+
+TPU-native default (``method='adam'``): the simulator is differentiable, so
+we run a *fixed-iteration, multi-start* Adam on the device — one jitted
+``lax.scan`` evaluating a batch of angle vectors in parallel
+(`vmap` over starts).  Fixed iteration counts keep shapes static; the batch
+replaces qulacs' OpenMP with on-chip parallelism.  Start 0 is the incoming
+angle vector (COBYLA's warm start); the rest are Gaussian perturbations to
+escape local minima.
+
+Parity mode (``method='cobyla'``): scipy's COBYLA driving the jitted energy
+— identical semantics to the reference (scipy is the same Fortran COBYLA),
+but each evaluation is a single compiled XLA call instead of a per-gate
+Python loop.
+
+`nfev` reporting matches the reference's role for it (optimizer work per
+env step, the paper's headline metric, ``image/result2.png``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrl_qas_tpu.sim.apply import apply_tape
+from tensorrl_qas_tpu.sim.expectation import pauli_expectation
+
+
+class AngleOptimizer:
+    """Compiled per-step angle optimizer bound to one problem + tape shape.
+
+    Args:
+      pauli_arrays: device arrays from ``PauliSum.device_arrays``.
+      method: 'adam' (TPU-native) or 'cobyla' (host parity mode).
+      iters: optimizer iterations (adam) or maxiter (COBYLA); reference
+        config key ``global_iters``.
+      n_starts: multi-start batch width (adam only).
+      lr: adam learning rate.
+      restart_scale: stddev of Gaussian perturbation for starts 1..B-1.
+      dtype: statevector dtype.
+    """
+
+    def __init__(self, pauli_arrays, method: str = "adam", iters: int = 100,
+                 n_starts: int = 8, lr: float = 0.1,
+                 restart_scale: float = 0.1, dtype=jnp.complex64):
+        self.pauli = pauli_arrays
+        self.method = method
+        self.iters = iters
+        self.n_starts = n_starts
+        self.lr = lr
+        self.restart_scale = restart_scale
+        self.dtype = dtype
+        self._energy_jit = jax.jit(self._energy)
+        self._opt_jit = jax.jit(self._optimize_multistart)
+
+    # -- energy ---------------------------------------------------------------
+
+    def _energy(self, psi0, kind, tq, cq, slot, x):
+        psi = apply_tape(psi0, kind, tq, cq, slot, x)
+        return pauli_expectation(psi, *self.pauli)
+
+    def energy(self, psi0, tape_arrays, x) -> float:
+        kind, tq, cq, slot = tape_arrays
+        return float(self._energy_jit(psi0, kind, tq, cq, slot, jnp.asarray(x)))
+
+    # -- adam (on-device) -----------------------------------------------------
+
+    def _adam_single(self, psi0, kind, tq, cq, slot, x0, active):
+        """Fixed-iteration Adam tracking the best iterate seen."""
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        val_and_grad = jax.value_and_grad(
+            lambda x: self._energy(psi0, kind, tq, cq, slot, x))
+
+        def step(carry, i):
+            x, m, v, best_x, best_e = carry
+            e, g = val_and_grad(x)
+            g = g * active
+            better = e < best_e
+            best_x = jnp.where(better, x, best_x)
+            best_e = jnp.where(better, e, best_e)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            t = i.astype(x.dtype) + 1.0
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            x = x - self.lr * mhat / (jnp.sqrt(vhat) + eps)
+            return (x, m, v, best_x, best_e), None
+
+        init = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0,
+                jnp.asarray(jnp.inf, x0.dtype))
+        (x, _, _, best_x, best_e), _ = jax.lax.scan(
+            step, init, jnp.arange(self.iters))
+        # final iterate may beat the best tracked one
+        e_final = val_and_grad(x)[0]
+        better = e_final < best_e
+        return jnp.where(better, x, best_x), jnp.where(better, e_final, best_e)
+
+    def _optimize_multistart(self, psi0, kind, tq, cq, slot, x0, active, key):
+        noise = jax.random.normal(key, (self.n_starts, x0.shape[0]),
+                                  dtype=x0.dtype) * self.restart_scale
+        noise = noise.at[0].set(0.0)  # start 0 = warm start
+        starts = (x0[None, :] + noise) * active[None, :]
+        xs, es = jax.vmap(
+            lambda s: self._adam_single(psi0, kind, tq, cq, slot, s, active)
+        )(starts)
+        best = jnp.argmin(es)
+        return xs[best], es[best]
+
+    # -- public entry -----------------------------------------------------------
+
+    def optimize(self, psi0, tape_arrays, x0, n_active: int, key):
+        """Optimize the angle vector.
+
+        Args:
+          psi0: (2^n,) initial statevector.
+          tape_arrays: (kind, tq, cq, slot) padded tape arrays.
+          x0: (R,) warm-start angle vector (padded).
+          n_active: number of live rotation slots (<= R); padding stays 0.
+          key: PRNG key (adam restarts).
+
+        Returns (x_opt (R,) numpy, energy float, nfev int).
+        """
+        kind, tq, cq, slot = tape_arrays
+        rdtype = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        x0 = jnp.asarray(x0, dtype=rdtype)
+        active = (jnp.arange(x0.shape[0]) < n_active).astype(rdtype)
+
+        if self.method == "adam":
+            x, e = self._opt_jit(psi0, kind, tq, cq, slot, x0, active, key)
+            nfev = self.iters * self.n_starts
+            return np.asarray(x), float(e), nfev
+
+        if self.method == "cobyla":
+            import scipy.optimize
+
+            x0_np = np.asarray(x0)
+            xa = x0_np.copy()
+
+            def cost(xs):
+                xa[:n_active] = xs
+                return float(self._energy_jit(psi0, kind, tq, cq, slot,
+                                              jnp.asarray(xa)))
+
+            if n_active == 0:
+                e = float(self._energy_jit(psi0, kind, tq, cq, slot, x0))
+                return x0_np, e, 0
+            res = scipy.optimize.minimize(cost, x0=x0_np[:n_active],
+                                          method="COBYLA",
+                                          options={"maxiter": self.iters})
+            out = x0_np.copy()
+            out[:n_active] = res["x"]
+            e = float(self._energy_jit(psi0, kind, tq, cq, slot,
+                                       jnp.asarray(out)))
+            return out, e, int(res["nfev"])
+
+        raise ValueError(f"unknown method {self.method!r}")

@@ -1,0 +1,42 @@
+"""Checkpoint / resume.
+
+Reference behavior (``TensorRL_fixed_noiseless.py:179-183, 239-252``): every
+5 episodes save policy net, optimizer state, and the full replay buffer;
+``init_net`` warm start reloads all three and optionally skips the epsilon
+restart.  We save the Flax param pytree + Optax state via
+``flax.serialization`` (msgpack) and the array-backed replay buffer via
+compressed npz, plus curriculum and RNG state so resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import flax.serialization
+import numpy as np
+
+
+def save_checkpoint(path_prefix: str, agent, env=None) -> None:
+    os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    with open(path_prefix + "_agent.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(agent.state_dict()))
+    np.savez_compressed(path_prefix + "_replay.npz",
+                        **agent.memory.state_dict())
+    if env is not None:
+        with open(path_prefix + "_env.pkl", "wb") as f:
+            pickle.dump({"curricula": env.curriculum_state()}, f)
+
+
+def load_checkpoint(path_prefix: str, agent, env=None,
+                    restore_replay: bool = True) -> None:
+    with open(path_prefix + "_agent.msgpack", "rb") as f:
+        target = agent.state_dict()
+        restored = flax.serialization.from_bytes(target, f.read())
+    agent.load_state_dict(restored)
+    if restore_replay and os.path.exists(path_prefix + "_replay.npz"):
+        data = np.load(path_prefix + "_replay.npz", allow_pickle=True)
+        agent.memory.load_state_dict({k: data[k] for k in data.files})
+    if env is not None and os.path.exists(path_prefix + "_env.pkl"):
+        with open(path_prefix + "_env.pkl", "rb") as f:
+            env.load_curriculum_state(pickle.load(f)["curricula"])

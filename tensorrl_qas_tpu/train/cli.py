@@ -1,0 +1,127 @@
+"""Command-line entry point.
+
+Reproduces the reference invocation shape (``python3 <script>.py --seed N
+--config NAME --experiment_name DIR/`` — ``TensorRL_fixed_noiseless.py:
+185-192``) with one script instead of five: the algorithm mode that the
+reference encodes in the choice of entry file (TensorRL fixed / trainable /
+StructureRL x noiseless / noisy / restricted) is inferred from the
+experiment/config names, overridable with explicit flags.  The reference's
+interactive device prompt (``TensorRL_fixed_noiseless.py:203-216``) is
+replaced by automatic JAX device selection (TPU when present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+from tensorrl_qas_tpu.agents.dqn import make_agent
+from tensorrl_qas_tpu.envs.circuit_env import CircuitEnv, EnvConfig
+from tensorrl_qas_tpu.train.checkpoint import load_checkpoint
+from tensorrl_qas_tpu.train.config import get_config
+from tensorrl_qas_tpu.train.driver import train
+
+
+def infer_modes(experiment_name: str, config_name: str):
+    """Map the reference's entry-script choice onto (tn_placement,
+    noise_mode, topology) flags — see SURVEY.md section 2.3 capability
+    matrix."""
+    exp = experiment_name.lower()
+    cfgn = config_name.lower()
+    tn_placement = "fixed" if "fixed" in exp else "in_state"
+    if "restricted" in cfgn or "restricted" in exp:
+        noise_mode = "shot"
+        topology = "hexagon"
+    elif "noise" in cfgn or "noise" in exp:
+        noise_mode = "depolarizing"
+        topology = "all_to_all"
+    else:
+        noise_mode = "none"
+        topology = "all_to_all"
+    return tn_placement, noise_mode, topology
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="trlqas",
+        description="TPU-native TensorRL-QAS training driver")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", type=str, default="heisenberg_5q_TNbond2",
+                   help="config file name without .cfg")
+    p.add_argument("--experiment_name", type=str, default="TensorRL_fixed/",
+                   help="config family directory (with trailing slash)")
+    p.add_argument("--gpu_id", type=int, default=0,
+                   help="accepted for reference CLI compatibility; unused")
+    p.add_argument("--episodes", type=int, default=None,
+                   help="override [general] episodes")
+    p.add_argument("--tn_placement", choices=["fixed", "in_state"],
+                   default=None)
+    p.add_argument("--noise", choices=["none", "depolarizing", "shot"],
+                   default=None)
+    p.add_argument("--topology", choices=["all_to_all", "hexagon"],
+                   default=None)
+    p.add_argument("--optim", choices=["adam", "cobyla"], default=None,
+                   help="per-step angle optimizer (default: adam on device)")
+    p.add_argument("--results_path", type=str, default="results/")
+    p.add_argument("--test_every", type=int, default=0,
+                   help="greedy eval rollout cadence (0 = off)")
+    p.add_argument("--stop_on_success", type=int, default=0,
+                   help="stop after N successful episodes (0 = run all)")
+    p.add_argument("--sim_dtype", type=str, default="auto")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    conf = get_config(args.experiment_name, f"{args.config}.cfg")
+    tn_placement, noise_mode, topology = infer_modes(args.experiment_name,
+                                                     args.config)
+    if args.tn_placement:
+        tn_placement = args.tn_placement
+    if args.noise:
+        noise_mode = args.noise
+    if args.topology:
+        topology = args.topology
+    conf["env"]["topology"] = topology
+
+    np.random.seed(args.seed)
+
+    env_cfg = EnvConfig.from_conf(conf, tn_placement=tn_placement,
+                                  noise_mode=noise_mode, seed=args.seed,
+                                  optim_alg=args.optim)
+    env_cfg.sim_dtype = args.sim_dtype
+    env = CircuitEnv(env_cfg)
+    agent = make_agent(conf, env.action_size, env.state_size, seed=args.seed)
+
+    output_path = f"{args.results_path}{args.experiment_name}{args.config}"
+    pathlib.Path(output_path).mkdir(parents=True, exist_ok=True)
+
+    if conf["agent"].get("init_net"):
+        prefix = (f"results/finalize/{args.config}/"
+                  f"thresh_{conf['env']['accept_err']}_{args.seed}")
+        load_checkpoint(prefix, agent, env)
+        if not conf["agent"].get("epsilon_restart"):
+            agent.epsilon = agent.epsilon_min
+
+    print(json.dumps({
+        "config": args.config, "experiment": args.experiment_name,
+        "seed": args.seed, "tn_placement": tn_placement,
+        "noise_mode": noise_mode, "topology": topology,
+        "optim": env_cfg.optim_alg, "n_qubits": env_cfg.num_qubits,
+        "num_layers": env_cfg.num_layers,
+        "action_size": env.action_size, "state_size": env.state_size,
+    }), flush=True)
+
+    train(env, agent, conf, args.seed, output_path,
+          episodes=args.episodes, test_every=args.test_every,
+          stop_on_success=args.stop_on_success)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
