@@ -105,6 +105,12 @@ class DQN:
 
         self._qvals = jax.jit(
             lambda p, x: self.model.apply(p, x, deterministic=True))
+        # single-round-trip greedy action: mask + argmax on device
+        self._argmax_masked = jax.jit(
+            lambda p, x, mask: jnp.argmax(
+                jnp.where(mask, -jnp.inf,
+                          self.model.apply(p, x[None, :],
+                                           deterministic=True)[0])))
         self._train = jax.jit(self._train_step)
 
     # -- acting --------------------------------------------------------------
@@ -117,10 +123,11 @@ class DQN:
             while a in illegal:
                 a = int(self.rng.integers(self.action_size))
             return a, True
-        q = np.asarray(self._qvals(self.params, state[None, :])[0])
+        mask = np.zeros(self.action_size, dtype=bool)
         if illegal:
-            q[np.asarray(illegal, dtype=np.int64)] = -np.inf
-        return int(np.argmax(q)), False
+            mask[np.asarray(illegal, dtype=np.int64)] = True
+        return int(self._argmax_masked(self.params, jnp.asarray(state),
+                                       jnp.asarray(mask))), False
 
     def remember(self, state, action, reward, next_state, done) -> None:
         self.memory.push(state, action, reward, next_state, done)
@@ -158,7 +165,7 @@ class DQN:
         batch = self.memory.sample(batch_size)
         return None, batch, np.float32(1.0)
 
-    def replay(self, batch_size: int) -> float:
+    def replay(self, batch_size: int, fetch_loss: bool = True):
         if self.step_counter % self.update_target_net == 0:
             self.target_params = jax.tree.map(jnp.copy, self.params)
         self.step_counter += 1
@@ -176,7 +183,9 @@ class DQN:
         if self.epsilon > self.epsilon_min:
             self.epsilon = max(self.epsilon * self.epsilon_decay,
                                self.epsilon_min)
-        return float(loss)
+        # fetch_loss=False keeps dispatch fully async (no host round trip) —
+        # used by latency-sensitive loops; the loss stays a device scalar.
+        return float(loss) if fetch_loss else loss
 
     # -- checkpointing ------------------------------------------------------------
 

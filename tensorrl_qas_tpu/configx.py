@@ -10,7 +10,12 @@ import os
 
 import jax
 
-if not os.environ.get("TRLQAS_NO_X64"):
+# x64 on CPU only: the TPU path runs f32/c64 (f64 is unsupported or emulated
+# on TPU backends, and stray float64 host constants would otherwise fail to
+# lower).  TRLQAS_FORCE_X64=1 / TRLQAS_NO_X64=1 override in either direction.
+if os.environ.get("TRLQAS_FORCE_X64"):
+    jax.config.update("jax_enable_x64", True)
+elif not os.environ.get("TRLQAS_NO_X64") and jax.default_backend() == "cpu":
     jax.config.update("jax_enable_x64", True)
 
 

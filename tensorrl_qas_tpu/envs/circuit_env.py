@@ -175,11 +175,21 @@ class CircuitEnv:
             if cfg.tn_placement == "fixed":
                 # compile once to a statevector; episodes start from it
                 # (reference: Statevector(tenor_circ).data,
-                #  environment_qulacs_TN_notin_agent.py:158)
-                self._tn_psi = apply_tape(
-                    zero_state(n, self.dtype),
-                    *map(jnp.asarray, self.tn_tape.arrays()),
-                    jnp.asarray(self.tn_tape.x0()))
+                #  environment_qulacs_TN_notin_agent.py:158).  Fetched as
+                # (re, im) f32 pairs and kept as HOST numpy: complex device
+                # arrays cannot cross jit boundaries on some TPU transports.
+                rdt = (np.float32 if self.dtype == jnp.complex64
+                       else np.float64)
+
+                def _tn(x):
+                    psi = apply_tape(zero_state(n, self.dtype),
+                                     *map(jnp.asarray, self.tn_tape.arrays()),
+                                     x)
+                    return jnp.real(psi), jnp.imag(psi)
+
+                re, im = jax.jit(_tn)(self.tn_tape.x0().astype(rdt))
+                self._tn_psi = (np.asarray(re) + 1j * np.asarray(im)).astype(
+                    np.dtype(self.dtype))
         self.num_layers_termination = cfg.num_layers - self.tn_depth
 
         # --- action space ---------------------------------------------------
@@ -255,6 +265,19 @@ class CircuitEnv:
     def _observation(self, state: StateTensor) -> np.ndarray:
         return state.observation(bool(self.cfg.state_with_angles))
 
+    def _angle_map(self, old_state: StateTensor,
+                   new_state: StateTensor) -> np.ndarray:
+        """Host-precomputed mapping from old-tape angle slots to new-tape
+        slots (the new gate, if a rotation, maps from -1 -> angle 0).
+        Fixed length = rot_capacity so the fused jit never recompiles."""
+        old_pos = {pos: i for i, pos in
+                   enumerate(zip(*old_state.rot_positions()))}
+        new_pos = list(zip(*new_state.rot_positions()))
+        out = np.full(self.rot_capacity, -1, dtype=np.int32)
+        for i, pos in enumerate(new_pos):
+            out[i] = old_pos.get(pos, -1)
+        return out
+
     # -- API --------------------------------------------------------------------
 
     def reset(self) -> np.ndarray:
@@ -320,20 +343,36 @@ class CircuitEnv:
         self.tracker.observe(self.current_action)
 
         nfev = 0
-        if cfg.optim_method in ("scipy_each_step",):
-            # NB: optimize the *pre-action* circuit — reference ordering
-            # (see module docstring).
-            tape = self._tape(old_state)
-            x_opt, _, nfev = self.optimizer.optimize(
-                self._psi0(), tuple(map(jnp.asarray, tape.arrays())),
-                tape.x0(), tape.n_rots, self._next_key())
-            opt_angles = x_opt[: tape.n_rots]
+        if cfg.optim_method in ("scipy_each_step",) and cfg.optim_alg == "adam":
+            # fused fast path: optimize pre-action circuit + post-action
+            # energy in ONE device round trip (reference ordering kept —
+            # see module docstring)
+            old_tape = self._tape(old_state)
+            new_tape = self._tape(next_state)
+            map_idx = self._angle_map(old_state, next_state)
+            x_opt, energy, nfev = self.optimizer.fused_step(
+                self._psi0(), tuple(map(jnp.asarray, old_tape.arrays())),
+                old_tape.x0(), old_tape.n_rots,
+                tuple(map(jnp.asarray, new_tape.arrays())), map_idx,
+                self._next_key())
+            opt_angles = x_opt[: old_tape.n_rots]
             old_state.set_rot_angles(opt_angles)
             next_state.thetas = old_state.thetas
             self.opt_ang_save = np.asarray(opt_angles)
-
-        self.state = next_state
-        energy = self._energy_of_state(self.state)
+            self.state = next_state
+        else:
+            if cfg.optim_method in ("scipy_each_step",):
+                # host COBYLA parity path
+                tape = self._tape(old_state)
+                x_opt, _, nfev = self.optimizer.optimize(
+                    self._psi0(), tuple(map(jnp.asarray, tape.arrays())),
+                    tape.x0(), tape.n_rots, self._next_key())
+                opt_angles = x_opt[: tape.n_rots]
+                old_state.set_rot_angles(opt_angles)
+                next_state.thetas = old_state.thetas
+                self.opt_ang_save = np.asarray(opt_angles)
+            self.state = next_state
+            energy = self._energy_of_state(self.state)
         energy_noiseless = energy  # noise modes wired in sim/noise.py
 
         self.energy = energy

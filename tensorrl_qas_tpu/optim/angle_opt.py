@@ -60,6 +60,7 @@ class AngleOptimizer:
         self.dtype = dtype
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
+        self._fused_jit = jax.jit(self._fused_step)
 
     # -- energy ---------------------------------------------------------------
 
@@ -113,6 +114,29 @@ class AngleOptimizer:
         )(starts)
         best = jnp.argmin(es)
         return xs[best], es[best]
+
+    def _fused_step(self, psi0, old_arrs, x0, active, new_arrs, map_idx, key):
+        """One env step's device work in a single XLA program (one host
+        round trip): optimize the pre-action circuit, remap the optimized
+        angles onto the post-action tape (``map_idx``, host-precomputed
+        insertion permutation; the freshly placed rotation enters at 0), and
+        evaluate the post-action energy."""
+        x_opt, e_opt = self._optimize_multistart(psi0, *old_arrs, x0, active,
+                                                 key)
+        x_new = jnp.where(map_idx >= 0, x_opt[jnp.maximum(map_idx, 0)], 0.0)
+        e_new = self._energy(psi0, *new_arrs, x_new)
+        return x_opt, e_new
+
+    def fused_step(self, psi0, old_tape_arrays, x0, n_active_old,
+                   new_tape_arrays, map_idx, key):
+        """Returns (x_opt numpy (R,), e_new float, nfev)."""
+        rdtype = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        x0 = jnp.asarray(np.asarray(x0, dtype=rdtype))
+        active = (jnp.arange(x0.shape[0]) < n_active_old).astype(rdtype)
+        x_opt, e_new = self._fused_jit(psi0, old_tape_arrays, x0, active,
+                                       new_tape_arrays,
+                                       jnp.asarray(map_idx), key)
+        return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
 
     # -- public entry -----------------------------------------------------------
 

@@ -26,8 +26,18 @@ from tensorrl_qas_tpu.circuits.tape import GateKind
 
 
 def zero_state(n_qubits: int, dtype=jnp.complex64):
-    psi = jnp.zeros(1 << n_qubits, dtype=dtype)
-    return psi.at[0].set(1.0)
+    """|0...0> as a HOST numpy array.
+
+    Deliberately host-side: on some TPU transports complex *device* arrays
+    cannot cross jit boundaries (d2h fetch and re-input both fail), while
+    complex host->device inputs and fully-fused complex compute are fine.
+    Inside a trace this lowers as a constant; as a jit argument it uploads.
+    """
+    import numpy as np
+
+    psi = np.zeros(1 << n_qubits, dtype=np.dtype(dtype))
+    psi[0] = 1.0
+    return psi
 
 
 def _gate_matrix(kind, theta, dtype):

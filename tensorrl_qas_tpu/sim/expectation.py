@@ -96,10 +96,17 @@ class PauliSum:
         return H
 
     def device_arrays(self, dtype=jnp.complex64):
-        w = jnp.asarray(self.weights,
-                        dtype=jnp.float32 if dtype == jnp.complex64 else jnp.float64)
-        return (w, jnp.asarray(self.flip), jnp.asarray(self.sign_mask),
-                jnp.asarray(self.iphase, dtype=dtype))
+        """Typed host arrays for capture in jitted closures.
+
+        Deliberately numpy, not jnp: closure-captured *device* arrays are
+        embedded as compile-time constants via a device->host fetch, and
+        complex d2h transfers are unimplemented on some TPU transports;
+        host arrays lower directly.
+        """
+        rdt = np.float32 if dtype == jnp.complex64 else np.float64
+        return (self.weights.astype(rdt), self.flip, self.sign_mask,
+                self.iphase.astype(np.complex64 if dtype == jnp.complex64
+                                   else np.complex128))
 
 
 def pauli_expectation(psi, weights, flip, sign_mask, iphase):

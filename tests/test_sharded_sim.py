@@ -1,0 +1,93 @@
+"""Amplitude-sharded simulator vs single-chip reference on a virtual
+8-device CPU mesh (the multi-chip scale-out path, SURVEY.md section 2.4b)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+from tensorrl_qas_tpu.parallel.sharded_sim import ShardedSimulator
+from tensorrl_qas_tpu.sim import apply_tape, pauli_expectation, zero_state
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+
+
+def amp_mesh(n_dev):
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        pytest.skip(f"need {n_dev} devices")
+    return Mesh(np.array(devs[:n_dev]).reshape(n_dev), ("amp",))
+
+
+def random_tape(n, n_gates, seed):
+    rng = np.random.default_rng(seed)
+    tape = GateTape(n, n_gates, n_gates)
+    for _ in range(n_gates):
+        kind = rng.choice([GateKind.RX, GateKind.RY, GateKind.RZ, GateKind.CX])
+        if kind == GateKind.CX:
+            c, t = rng.choice(n, size=2, replace=False)
+            tape.add_cx(int(c), int(t))
+        else:
+            tape.add(kind, target=int(rng.integers(n)),
+                     angle=float(rng.uniform(-np.pi, np.pi)))
+    return tape
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_apply_matches_single_chip(n_dev):
+    n = 5
+    mesh = amp_mesh(n_dev)
+    ps = PauliSum.from_strings(["XZIII", "IIYXI", "ZZZZZ"], [0.3, -1.1, 0.7], n)
+    sim = ShardedSimulator(mesh, n, ps, dtype=jnp.complex128)
+    tape = random_tape(n, 40, seed=n_dev)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    x = jnp.asarray(tape.x0())
+
+    psi_ref = apply_tape(zero_state(n, jnp.complex128), *arrs, x)
+    psi_sh = sim.apply_tape(sim.zero_state(), *arrs, x)
+    np.testing.assert_allclose(np.asarray(psi_sh), np.asarray(psi_ref),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_expectation_matches(n_dev):
+    n = 6
+    mesh = amp_mesh(n_dev)
+    # terms whose flips cross the device-bit boundary in every combination
+    paulis = ["XIIIII", "IIIIIX", "XYIIZX", "ZZZZZZ", "IYIYIY", "XXXXXX"]
+    weights = [0.5, -0.25, 1.5, 2.0, -0.75, 0.1]
+    ps = PauliSum.from_strings(paulis, weights, n)
+    sim = ShardedSimulator(mesh, n, ps, dtype=jnp.complex128)
+    tape = random_tape(n, 30, seed=42 + n_dev)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    x = jnp.asarray(tape.x0())
+
+    psi_ref = apply_tape(zero_state(n, jnp.complex128), *arrs, x)
+    e_ref = float(pauli_expectation(psi_ref,
+                                    *ps.device_arrays(jnp.complex128)))
+    psi_sh = sim.apply_tape(sim.zero_state(), *arrs, x)
+    e_sh = float(sim.expectation(psi_sh))
+    assert e_sh == pytest.approx(e_ref, abs=1e-10)
+
+
+def test_sharded_heisenberg_warmstart_energy():
+    """Cross-check the sharded engine against the golden warm-start energy."""
+    from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
+    from tensorrl_qas_tpu.problems.hamiltonians import (
+        load_problem, resolve_data_file, warmstart_qasm_name)
+
+    try:
+        path = resolve_data_file(warmstart_qasm_name("heisenberg", 5, 2))
+    except FileNotFoundError:
+        pytest.skip("reference data not available")
+    mesh = amp_mesh(8)
+    prob = load_problem("heisenberg", 5)
+    sim = ShardedSimulator(mesh, 5, prob.pauli, dtype=jnp.complex128)
+    tape = load_qasm_tape(path)
+    psi = sim.apply_tape(sim.zero_state(),
+                         *map(jnp.asarray, tape.arrays()),
+                         jnp.asarray(tape.x0()))
+    e = float(sim.expectation(psi))
+    assert e == pytest.approx(-8.49748, abs=1e-4)
