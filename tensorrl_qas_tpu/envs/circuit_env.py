@@ -74,6 +74,7 @@ class EnvConfig:
     noise_mode: str = "none"              # 'none' | 'depolarizing' | 'shot'
     noise_values: tuple = ()
     n_shots: int = 0
+    n_traj: int = 1                       # trajectories per noisy energy
     err_mitig: int = 0
     topology: str = "all_to_all"
     # per-step angle optimization
@@ -212,11 +213,16 @@ class CircuitEnv:
         self.tape_capacity = embedded_gates + max_steps
         self.rot_capacity = embedded_rots + max_steps
 
+        noise_p1, noise_p2 = 0.01, 0.05  # reference VQE_qulacs_noise.py:32,45
+        if len(cfg.noise_values) >= 2:
+            noise_p1, noise_p2 = cfg.noise_values[0], cfg.noise_values[1]
         self.optimizer = AngleOptimizer(
             self.problem.pauli.device_arrays(self.dtype),
             method=cfg.optim_alg,
             iters=cfg.global_iters, n_starts=cfg.n_starts, lr=cfg.adam_lr,
-            restart_scale=cfg.restart_scale, dtype=self.dtype)
+            restart_scale=cfg.restart_scale, dtype=self.dtype,
+            noise_mode=cfg.noise_mode, noise_p1=noise_p1, noise_p2=noise_p2,
+            n_shots=cfg.n_shots, n_traj=cfg.n_traj)
 
         self.curriculum_dict = {
             cfg.ham_type: make_curriculum(cfg.curriculum_type,
@@ -260,7 +266,7 @@ class CircuitEnv:
         tape = self._tape(state)
         return self.optimizer.energy(self._psi0(),
                                      tuple(map(jnp.asarray, tape.arrays())),
-                                     tape.x0())
+                                     tape.x0(), key=self._next_key())
 
     def _observation(self, state: StateTensor) -> np.ndarray:
         return state.observation(bool(self.cfg.state_with_angles))

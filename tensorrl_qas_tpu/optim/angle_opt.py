@@ -8,23 +8,26 @@ a Python->C++ qulacs boundary per function evaluation.
 TPU-native default (``method='adam'``): the simulator is differentiable, so
 we run a *fixed-iteration, multi-start* Adam on the device — one jitted
 ``lax.scan`` evaluating a batch of angle vectors in parallel
-(`vmap` over starts).  Fixed iteration counts keep shapes static; the batch
-replaces qulacs' OpenMP with on-chip parallelism.  Start 0 is the incoming
-angle vector (COBYLA's warm start); the rest are Gaussian perturbations to
-escape local minima.
+(``vmap`` over starts).  Fixed iteration counts keep shapes static; the
+batch replaces qulacs' OpenMP with on-chip parallelism.  Start 0 is the
+incoming angle vector (COBYLA's warm start); the rest are Gaussian
+perturbations to escape local minima.
 
 Parity mode (``method='cobyla'``): scipy's COBYLA driving the jitted energy
 — identical semantics to the reference (scipy is the same Fortran COBYLA),
 but each evaluation is a single compiled XLA call instead of a per-gate
 Python loop.
 
-`nfev` reporting matches the reference's role for it (optimizer work per
+Noise models (reference capability matrix, SURVEY.md section 2.3):
+``noise_mode='depolarizing'`` evaluates stochastic Pauli-trajectory
+energies (mean of ``n_traj`` trajectories; ``n_traj=1`` = reference
+single-sample semantics); ``'shot'`` adds per-term Gaussian sampling noise.
+
+``nfev`` reporting matches the reference's role for it (optimizer work per
 env step, the paper's headline metric, ``image/result2.png``).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,13 +35,14 @@ import numpy as np
 
 from tensorrl_qas_tpu.sim.apply import apply_tape
 from tensorrl_qas_tpu.sim.expectation import pauli_expectation
+from tensorrl_qas_tpu.sim.noise import apply_tape_depolarizing, shot_noise
 
 
 class AngleOptimizer:
     """Compiled per-step angle optimizer bound to one problem + tape shape.
 
     Args:
-      pauli_arrays: device arrays from ``PauliSum.device_arrays``.
+      pauli_arrays: host arrays from ``PauliSum.device_arrays``.
       method: 'adam' (TPU-native) or 'cobyla' (host parity mode).
       iters: optimizer iterations (adam) or maxiter (COBYLA); reference
         config key ``global_iters``.
@@ -46,11 +50,18 @@ class AngleOptimizer:
       lr: adam learning rate.
       restart_scale: stddev of Gaussian perturbation for starts 1..B-1.
       dtype: statevector dtype.
+      noise_mode: 'none' | 'depolarizing' | 'shot'.
+      noise_p1/noise_p2: depolarizing probabilities after rotations / CNOTs
+        (reference hardcodes 0.01 / 0.05, ``VQE_qulacs_noise.py:32,45``).
+      n_shots: shot-noise sample count (0 disables).
+      n_traj: trajectories averaged per depolarizing energy evaluation.
     """
 
     def __init__(self, pauli_arrays, method: str = "adam", iters: int = 100,
                  n_starts: int = 8, lr: float = 0.1,
-                 restart_scale: float = 0.1, dtype=jnp.complex64):
+                 restart_scale: float = 0.1, dtype=jnp.complex64,
+                 noise_mode: str = "none", noise_p1: float = 0.01,
+                 noise_p2: float = 0.05, n_shots: int = 0, n_traj: int = 1):
         self.pauli = pauli_arrays
         self.method = method
         self.iters = iters
@@ -58,31 +69,54 @@ class AngleOptimizer:
         self.lr = lr
         self.restart_scale = restart_scale
         self.dtype = dtype
+        self.noise_mode = noise_mode
+        self.noise_p1 = noise_p1
+        self.noise_p2 = noise_p2
+        self.n_shots = n_shots
+        self.n_traj = n_traj
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
+        self._host_key = jax.random.PRNGKey(0xC0B)
 
     # -- energy ---------------------------------------------------------------
 
-    def _energy(self, psi0, kind, tq, cq, slot, x):
+    def _energy(self, psi0, kind, tq, cq, slot, x, key):
+        if self.noise_mode == "depolarizing":
+            def one(k):
+                psi = apply_tape_depolarizing(
+                    psi0, kind, tq, cq, slot, x, k, self.noise_p1,
+                    self.noise_p2)
+                return pauli_expectation(psi, *self.pauli)
+
+            if self.n_traj == 1:
+                return one(key)
+            return jnp.mean(jax.vmap(one)(jax.random.split(key, self.n_traj)))
+
         psi = apply_tape(psi0, kind, tq, cq, slot, x)
-        return pauli_expectation(psi, *self.pauli)
+        e = pauli_expectation(psi, *self.pauli)
+        if self.noise_mode == "shot" and self.n_shots:
+            e = e + shot_noise(jnp.asarray(self.pauli[0]), self.n_shots, key)
+        return e
 
-    def energy(self, psi0, tape_arrays, x) -> float:
+    def energy(self, psi0, tape_arrays, x, key=None) -> float:
         kind, tq, cq, slot = tape_arrays
-        return float(self._energy_jit(psi0, kind, tq, cq, slot, jnp.asarray(x)))
+        if key is None:
+            self._host_key, key = jax.random.split(self._host_key)
+        return float(self._energy_jit(psi0, kind, tq, cq, slot,
+                                      jnp.asarray(x), key))
 
-    # -- adam (on-device) -----------------------------------------------------
+    # -- adam (on-device) -------------------------------------------------------
 
-    def _adam_single(self, psi0, kind, tq, cq, slot, x0, active):
+    def _adam_single(self, psi0, kind, tq, cq, slot, x0, active, key):
         """Fixed-iteration Adam tracking the best iterate seen."""
         b1, b2, eps = 0.9, 0.999, 1e-8
         val_and_grad = jax.value_and_grad(
-            lambda x: self._energy(psi0, kind, tq, cq, slot, x))
+            lambda x, k: self._energy(psi0, kind, tq, cq, slot, x, k))
 
         def step(carry, i):
             x, m, v, best_x, best_e = carry
-            e, g = val_and_grad(x)
+            e, g = val_and_grad(x, jax.random.fold_in(key, i))
             g = g * active
             better = e < best_e
             best_x = jnp.where(better, x, best_x)
@@ -99,19 +133,20 @@ class AngleOptimizer:
                 jnp.asarray(jnp.inf, x0.dtype))
         (x, _, _, best_x, best_e), _ = jax.lax.scan(
             step, init, jnp.arange(self.iters))
-        # final iterate may beat the best tracked one
-        e_final = val_and_grad(x)[0]
+        e_final = val_and_grad(x, jax.random.fold_in(key, self.iters))[0]
         better = e_final < best_e
         return jnp.where(better, x, best_x), jnp.where(better, e_final, best_e)
 
     def _optimize_multistart(self, psi0, kind, tq, cq, slot, x0, active, key):
-        noise = jax.random.normal(key, (self.n_starts, x0.shape[0]),
+        kn, ko = jax.random.split(key)
+        noise = jax.random.normal(kn, (self.n_starts, x0.shape[0]),
                                   dtype=x0.dtype) * self.restart_scale
         noise = noise.at[0].set(0.0)  # start 0 = warm start
         starts = (x0[None, :] + noise) * active[None, :]
         xs, es = jax.vmap(
-            lambda s: self._adam_single(psi0, kind, tq, cq, slot, s, active)
-        )(starts)
+            lambda s, k: self._adam_single(psi0, kind, tq, cq, slot, s,
+                                           active, k)
+        )(starts, jax.random.split(ko, self.n_starts))
         best = jnp.argmin(es)
         return xs[best], es[best]
 
@@ -121,10 +156,11 @@ class AngleOptimizer:
         angles onto the post-action tape (``map_idx``, host-precomputed
         insertion permutation; the freshly placed rotation enters at 0), and
         evaluate the post-action energy."""
+        ko, ke = jax.random.split(key)
         x_opt, e_opt = self._optimize_multistart(psi0, *old_arrs, x0, active,
-                                                 key)
+                                                 ko)
         x_new = jnp.where(map_idx >= 0, x_opt[jnp.maximum(map_idx, 0)], 0.0)
-        e_new = self._energy(psi0, *new_arrs, x_new)
+        e_new = self._energy(psi0, *new_arrs, x_new, ke)
         return x_opt, e_new
 
     def fused_step(self, psi0, old_tape_arrays, x0, n_active_old,
@@ -138,23 +174,23 @@ class AngleOptimizer:
                                        jnp.asarray(map_idx), key)
         return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
 
-    # -- public entry -----------------------------------------------------------
+    # -- public entry -------------------------------------------------------------
 
     def optimize(self, psi0, tape_arrays, x0, n_active: int, key):
         """Optimize the angle vector.
 
         Args:
-          psi0: (2^n,) initial statevector.
+          psi0: (2^n,) initial statevector (host or device).
           tape_arrays: (kind, tq, cq, slot) padded tape arrays.
           x0: (R,) warm-start angle vector (padded).
           n_active: number of live rotation slots (<= R); padding stays 0.
-          key: PRNG key (adam restarts).
+          key: PRNG key (adam restarts + noise).
 
         Returns (x_opt (R,) numpy, energy float, nfev int).
         """
         kind, tq, cq, slot = tape_arrays
         rdtype = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
-        x0 = jnp.asarray(x0, dtype=rdtype)
+        x0 = jnp.asarray(np.asarray(x0, dtype=rdtype))
         active = (jnp.arange(x0.shape[0]) < n_active).astype(rdtype)
 
         if self.method == "adam":
@@ -169,20 +205,20 @@ class AngleOptimizer:
             xa = x0_np.copy()
 
             def cost(xs):
+                self._host_key, k = jax.random.split(self._host_key)
                 xa[:n_active] = xs
                 return float(self._energy_jit(psi0, kind, tq, cq, slot,
-                                              jnp.asarray(xa)))
+                                              jnp.asarray(xa), k))
 
             if n_active == 0:
-                e = float(self._energy_jit(psi0, kind, tq, cq, slot, x0))
+                e = self.energy(psi0, tape_arrays, x0)
                 return x0_np, e, 0
             res = scipy.optimize.minimize(cost, x0=x0_np[:n_active],
                                           method="COBYLA",
                                           options={"maxiter": self.iters})
             out = x0_np.copy()
             out[:n_active] = res["x"]
-            e = float(self._energy_jit(psi0, kind, tq, cq, slot,
-                                       jnp.asarray(out)))
+            e = self.energy(psi0, tape_arrays, out)
             return out, e, int(res["nfev"])
 
         raise ValueError(f"unknown method {self.method!r}")
