@@ -90,4 +90,11 @@ def test_sharded_heisenberg_warmstart_energy():
                          *map(jnp.asarray, tape.arrays()),
                          jnp.asarray(tape.x0()))
     e = float(sim.expectation(psi))
-    assert e == pytest.approx(-8.49748, abs=1e-4)
+    # compare against the single-chip engine on the same circuit
+    psi1 = apply_tape(zero_state(5, jnp.complex128),
+                      *map(jnp.asarray, tape.arrays()),
+                      jnp.asarray(tape.x0()))
+    e1 = float(pauli_expectation(psi1,
+                                 *prob.pauli.device_arrays(jnp.complex128)))
+    assert e == pytest.approx(e1, abs=1e-9)
+    assert -8.6 < e < -8.4
