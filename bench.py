@@ -1,71 +1,79 @@
-"""Benchmark: training-loop env-step throughput at 8q H2O (TensorRL-fixed).
+"""Benchmark: training env-step throughput at 8q H2O (TensorRL-fixed).
 
 Primary metric per BASELINE.md: env-steps/sec/chip on the 8-qubit H2O
 problem.  One env step = place gate + multi-start re-optimization of all
 circuit angles (Adam, global_iters x n_starts evaluations) + post-action
-energy — all fused into a single XLA call — plus the DQN act and replay
-train step with the production batch size, as in the real training loop
-with a warm buffer.
+energy.  The measured loop is the vectorized trainer: B env replicas on ONE
+chip share a single batched fused XLA call per step, plus the batched DQN
+act and the replay train step (production batch size) — i.e. real training
+throughput with a warm buffer.
 
 Baseline: the reference's qulacs-CPU training on the same task runs ~27 s
 per episode (image/result3.png, README.md:27) at ~41 steps/episode
-=> ~1.52 env-steps/sec.  ``vs_baseline`` = our steps/sec over that.
+=> ~1.52 env-steps/sec.  ``vs_baseline`` = our aggregate steps/sec over
+that.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", "16"))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
+GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
+FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
 
 
 def main() -> int:
     import jax
 
     from tensorrl_qas_tpu.agents.dqn import make_agent
-    from tensorrl_qas_tpu.envs.circuit_env import CircuitEnv, EnvConfig
+    from tensorrl_qas_tpu.envs.circuit_env import EnvConfig
+    from tensorrl_qas_tpu.envs.vector_env import VectorCircuitEnv
     from tensorrl_qas_tpu.train.config import get_config
-    from tensorrl_qas_tpu.train.driver import modify_state
+    from tensorrl_qas_tpu.train.vector_driver import modify_states
 
     conf = get_config("TensorRL_fixed/", "H2O8q_TNbond2.cfg")
-    conf["non_local_opt"]["global_iters"] = 100  # adam iters (ref: COBYLA 1000)
+    conf["non_local_opt"]["global_iters"] = GLOBAL_ITERS  # ref: COBYLA 1000
+    if FILL_TARGET:
+        conf["agent"]["batch_size"] = int(FILL_TARGET)
     env_cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
-    env = CircuitEnv(env_cfg)
-    agent = make_agent(conf, env.action_size, env.state_size, seed=0)
+    venv = VectorCircuitEnv(env_cfg, n_envs=N_ENVS)
+    agent = make_agent(conf, venv.action_size, venv.state_size, seed=0)
     agent.epsilon = 0.5  # exercise both exploration and greedy act paths
     batch_size = conf["agent"]["batch_size"]
+    rng = np.random.default_rng(0)
 
-    def run_steps(n_steps, with_replay):
-        state = env.reset()
-        state = modify_state(state, env, conf)
-        steps = 0
-        while steps < n_steps:
-            ill = env.illegal_action_new()
-            a, _ = agent.act(state, ill)
-            next_state, reward, done = env.step(agent.translate[a])
-            next_state = modify_state(next_state, env, conf)
-            agent.remember(state, a, reward, next_state, float(done))
-            state = next_state
+    def run_iters(n_iters, with_replay):
+        states = modify_states(venv.reset_all(), venv, conf)
+        for it in range(n_iters):
+            illegal = venv.illegal_actions()
+            actions, _ = agent.act_batch(states, illegal)
+            acts4 = [agent.translate[int(a)] for a in actions]
+            next_states, rewards, dones, infos = venv.step_all(acts4)
+            next_states = modify_states(next_states, venv, conf)
+            for i in range(venv.n_envs):
+                agent.remember(states[i], int(actions[i]), float(rewards[i]),
+                               next_states[i], float(dones[i]))
+            states = next_states
             if with_replay and len(agent.memory) > batch_size:
                 agent.replay(batch_size, fetch_loss=False)
-            steps += 1
-            if done:
-                state = env.reset()
-                state = modify_state(state, env, conf)
-        return steps
+        return n_iters * venv.n_envs
 
-    # warmup: compile the fused step + act + replay, and fill the buffer
+    # warmup: compile the batched fused step / act / replay + fill buffer
     t0 = time.time()
-    while len(agent.memory) <= batch_size + 4:
-        run_steps(128, with_replay=False)
-    run_steps(2, with_replay=True)
+    while len(agent.memory) <= batch_size + venv.n_envs:
+        run_iters(16, with_replay=False)
+    run_iters(2, with_replay=True)
     warmup_s = time.time() - t0
 
-    n_steps = 100
     t0 = time.time()
-    run_steps(n_steps, with_replay=True)
+    n_steps = run_iters(TIMED_ITERS, with_replay=True)
     dt = time.time() - t0
     steps_per_sec = n_steps / dt
 
@@ -77,8 +85,9 @@ def main() -> int:
         "vs_baseline": round(steps_per_sec / qulacs_cpu_steps_per_sec, 2),
     }
     print(json.dumps(out), flush=True)
-    print(f"# warmup {warmup_s:.1f}s, timed {n_steps} steps in {dt:.2f}s, "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+    print(f"# n_envs={venv.n_envs}, warmup {warmup_s:.1f}s, timed {n_steps} "
+          f"steps in {dt:.2f}s, backend={jax.default_backend()}",
+          file=sys.stderr)
     return 0
 
 

@@ -111,6 +111,11 @@ class DQN:
                 jnp.where(mask, -jnp.inf,
                           self.model.apply(p, x[None, :],
                                            deterministic=True)[0])))
+        self._argmax_masked_batch = jax.jit(
+            lambda p, x, mask: jnp.argmax(
+                jnp.where(mask, -jnp.inf,
+                          self.model.apply(p, x, deterministic=True)),
+                axis=1))
         self._train = jax.jit(self._train_step)
 
     # -- acting --------------------------------------------------------------
@@ -128,6 +133,27 @@ class DQN:
             mask[np.asarray(illegal, dtype=np.int64)] = True
         return int(self._argmax_masked(self.params, jnp.asarray(state),
                                        jnp.asarray(mask))), False
+
+    def act_batch(self, states: np.ndarray, illegal: list[list[int]]):
+        """Vectorized epsilon-greedy over B env replicas: one device call
+        covers every greedy replica; exploring replicas sample on host."""
+        b = states.shape[0]
+        explore = self.rng.random(b) <= self.epsilon
+        actions = np.zeros(b, dtype=np.int64)
+        masks = np.zeros((b, self.action_size), dtype=bool)
+        for i, ill in enumerate(illegal):
+            if ill:
+                masks[i, np.asarray(ill, dtype=np.int64)] = True
+        if not explore.all():
+            greedy = np.asarray(self._argmax_masked_batch(
+                self.params, jnp.asarray(states), jnp.asarray(masks)))
+            actions[:] = greedy
+        for i in np.nonzero(explore)[0]:
+            a = int(self.rng.integers(self.action_size))
+            while masks[i, a]:
+                a = int(self.rng.integers(self.action_size))
+            actions[i] = a
+        return actions, explore
 
     def remember(self, state, action, reward, next_state, done) -> None:
         self.memory.push(state, action, reward, next_state, done)

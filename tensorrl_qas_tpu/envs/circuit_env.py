@@ -319,8 +319,14 @@ class CircuitEnv:
         re-observing ``current_action`` at the top of each driver iteration."""
         return self.tracker.observe(self.current_action)
 
-    def step(self, action, train_flag: bool = True):
-        cfg = self.cfg
+    # The step is split into a host phase (gate placement, masks, tape
+    # construction) and a device phase (fused optimize+energy) so that a
+    # vectorized wrapper can batch the device phase of many env replicas
+    # into one XLA call (envs/vector_env.py).
+
+    def step_begin(self, action):
+        """Host phase: mutate episode bookkeeping, return the device-call
+        payload (old/new tape arrays, warm start, angle remap)."""
         n = self.num_qubits
         old_state = self.state
         next_state = self.state.copy()
@@ -348,38 +354,25 @@ class CircuitEnv:
         self.current_action = list(action)
         self.tracker.observe(self.current_action)
 
-        nfev = 0
-        if cfg.optim_method in ("scipy_each_step",) and cfg.optim_alg == "adam":
-            # fused fast path: optimize pre-action circuit + post-action
-            # energy in ONE device round trip (reference ordering kept —
-            # see module docstring)
-            old_tape = self._tape(old_state)
-            new_tape = self._tape(next_state)
-            map_idx = self._angle_map(old_state, next_state)
-            x_opt, energy, nfev = self.optimizer.fused_step(
-                self._psi0(), tuple(map(jnp.asarray, old_tape.arrays())),
-                old_tape.x0(), old_tape.n_rots,
-                tuple(map(jnp.asarray, new_tape.arrays())), map_idx,
-                self._next_key())
-            opt_angles = x_opt[: old_tape.n_rots]
+        old_tape = self._tape(old_state)
+        new_tape = self._tape(next_state)
+        map_idx = self._angle_map(old_state, next_state)
+        self._pending = (old_state, next_state, old_tape)
+        return (old_tape.arrays(), old_tape.x0(), old_tape.n_rots,
+                new_tape.arrays(), map_idx)
+
+    def step_finish(self, x_opt, energy, nfev, train_flag: bool = True):
+        """Apply device results; compute reward/done/curriculum."""
+        cfg = self.cfg
+        old_state, next_state, old_tape = self._pending
+        self._pending = None
+        if x_opt is not None:
+            opt_angles = np.asarray(x_opt)[: old_tape.n_rots]
             old_state.set_rot_angles(opt_angles)
             next_state.thetas = old_state.thetas
             self.opt_ang_save = np.asarray(opt_angles)
-            self.state = next_state
-        else:
-            if cfg.optim_method in ("scipy_each_step",):
-                # host COBYLA parity path
-                tape = self._tape(old_state)
-                x_opt, _, nfev = self.optimizer.optimize(
-                    self._psi0(), tuple(map(jnp.asarray, tape.arrays())),
-                    tape.x0(), tape.n_rots, self._next_key())
-                opt_angles = x_opt[: tape.n_rots]
-                old_state.set_rot_angles(opt_angles)
-                next_state.thetas = old_state.thetas
-                self.opt_ang_save = np.asarray(opt_angles)
-            self.state = next_state
-            energy = self._energy_of_state(self.state)
-        energy_noiseless = energy  # noise modes wired in sim/noise.py
+        self.state = next_state
+        energy_noiseless = energy  # noisy modes report the noisy value twice
 
         self.energy = energy
         if train_flag and energy < self.curriculum.lowest_energy:
@@ -405,6 +398,42 @@ class CircuitEnv:
                 self.curriculum)
 
         return self._observation(self.state), float(rwd), done
+
+    def step(self, action, train_flag: bool = True):
+        cfg = self.cfg
+        payload = self.step_begin(action)
+        old_arrs, x0, n_rots_old, new_arrs, map_idx = payload
+
+        if cfg.optim_method in ("scipy_each_step",) and cfg.optim_alg == "adam":
+            # fused fast path: optimize pre-action circuit + post-action
+            # energy in ONE device round trip (reference ordering kept —
+            # see module docstring)
+            x_opt, energy, nfev = self.optimizer.fused_step(
+                self._psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
+                n_rots_old, tuple(map(jnp.asarray, new_arrs)), map_idx,
+                self._next_key())
+            return self.step_finish(x_opt, energy, nfev, train_flag)
+
+        if cfg.optim_method in ("scipy_each_step",):
+            # host COBYLA parity path
+            x_opt, _, nfev = self.optimizer.optimize(
+                self._psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
+                n_rots_old, self._next_key())
+            # energy of the post-action circuit with remapped angles
+            x_new = np.where(map_idx >= 0,
+                             np.asarray(x_opt)[np.maximum(map_idx, 0)], 0.0)
+            energy = self.optimizer.energy(
+                self._psi0(), tuple(map(jnp.asarray, new_arrs)), x_new,
+                key=self._next_key())
+            return self.step_finish(x_opt, energy, nfev, train_flag)
+
+        # no per-step optimization configured: energy only
+        x_new = np.where(np.asarray(map_idx) >= 0,
+                         np.asarray(x0)[np.maximum(map_idx, 0)], 0.0)
+        energy = self.optimizer.energy(
+            self._psi0(), tuple(map(jnp.asarray, new_arrs)), x_new,
+            key=self._next_key())
+        return self.step_finish(None, energy, 0, train_flag)
 
     def reward_fn(self, energy: float) -> float:
         """Reference ``incremental_with_fixed_ends``

@@ -77,6 +77,9 @@ class AngleOptimizer:
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
+        # batched fused step over a leading env-replica axis; psi0 shared
+        self._fused_batch_jit = jax.jit(jax.vmap(
+            self._fused_step, in_axes=(None, 0, 0, 0, 0, 0, 0)))
         self._host_key = jax.random.PRNGKey(0xC0B)
 
     # -- energy ---------------------------------------------------------------
@@ -173,6 +176,25 @@ class AngleOptimizer:
                                        new_tape_arrays,
                                        jnp.asarray(map_idx), key)
         return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
+
+    def fused_step_batch(self, psi0, old_arrs_b, x0_b, n_active_b,
+                         new_arrs_b, map_idx_b, keys):
+        """Batched fused step over B env replicas in ONE device call.
+
+        old_arrs_b/new_arrs_b: tuples of (B, G) arrays; x0_b (B, R);
+        n_active_b (B,); map_idx_b (B, R); keys (B, 2).
+        Returns (x_opt (B, R) numpy, e_new (B,) numpy, nfev).
+        """
+        rdtype = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        x0_b = jnp.asarray(np.asarray(x0_b, dtype=rdtype))
+        r = x0_b.shape[1]
+        active = (jnp.arange(r)[None, :]
+                  < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
+        x_opt, e_new = self._fused_batch_jit(
+            psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
+            tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b), keys)
+        return (np.asarray(x_opt), np.asarray(e_new),
+                self.iters * self.n_starts)
 
     # -- public entry -------------------------------------------------------------
 
