@@ -223,6 +223,8 @@ class CircuitEnv:
             restart_scale=cfg.restart_scale, dtype=self.dtype,
             noise_mode=cfg.noise_mode, noise_p1=noise_p1, noise_p2=noise_p2,
             n_shots=cfg.n_shots, n_traj=cfg.n_traj)
+        # enable the native host engine for the COBYLA parity path
+        self.optimizer._pauli_obj = self.problem.pauli
 
         self.curriculum_dict = {
             cfg.ham_type: make_curriculum(cfg.curriculum_type,

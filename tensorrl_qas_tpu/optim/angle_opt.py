@@ -81,6 +81,26 @@ class AngleOptimizer:
         self._fused_batch_jit = jax.jit(jax.vmap(
             self._fused_step, in_axes=(None, 0, 0, 0, 0, 0, 0)))
         self._host_key = jax.random.PRNGKey(0xC0B)
+        self._csim = None
+        self._csim_tried = False
+        self._pauli_obj = None  # set by callers that want the csim backend
+
+    def _csim_engine(self):
+        """Native host engine for the COBYLA inner loop (no device round
+        trips per scipy iterate); None when unavailable."""
+        if self._csim_tried:
+            return self._csim
+        self._csim_tried = True
+        if self._pauli_obj is None:
+            return None
+        try:
+            from tensorrl_qas_tpu import native
+
+            if native.available():
+                self._csim = native.CsimEngine(self._pauli_obj)
+        except Exception:
+            self._csim = None
+        return self._csim
 
     # -- energy ---------------------------------------------------------------
 
@@ -225,12 +245,22 @@ class AngleOptimizer:
 
             x0_np = np.asarray(x0)
             xa = x0_np.copy()
+            csim = self._csim_engine() if self.noise_mode == "none" else None
+            if csim is not None:
+                psi0_np = np.asarray(psi0).astype(np.complex128)
+                kind_np, tq_np = np.asarray(kind), np.asarray(tq)
+                cq_np, slot_np = np.asarray(cq), np.asarray(slot)
 
-            def cost(xs):
-                self._host_key, k = jax.random.split(self._host_key)
-                xa[:n_active] = xs
-                return float(self._energy_jit(psi0, kind, tq, cq, slot,
-                                              jnp.asarray(xa), k))
+                def cost(xs):
+                    xa[:n_active] = xs
+                    return csim.tape_energy(psi0_np, kind_np, tq_np, cq_np,
+                                            slot_np, xa)
+            else:
+                def cost(xs):
+                    self._host_key, k = jax.random.split(self._host_key)
+                    xa[:n_active] = xs
+                    return float(self._energy_jit(psi0, kind, tq, cq, slot,
+                                                  jnp.asarray(xa), k))
 
             if n_active == 0:
                 e = self.energy(psi0, tape_arrays, x0)

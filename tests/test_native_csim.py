@@ -1,0 +1,74 @@
+"""csim (C++ engine) vs the JAX engine: three-way oracle agreement."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+from tensorrl_qas_tpu.sim import apply_tape, pauli_expectation, zero_state
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+from tensorrl_qas_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+def random_tape(n, n_gates, seed):
+    rng = np.random.default_rng(seed)
+    tape = GateTape(n, n_gates, n_gates)
+    kinds = [GateKind.RX, GateKind.RY, GateKind.RZ, GateKind.CX,
+             GateKind.X, GateKind.Y, GateKind.Z, GateKind.H]
+    for _ in range(n_gates):
+        kind = rng.choice(kinds)
+        if kind == GateKind.CX:
+            c, t = rng.choice(n, size=2, replace=False)
+            tape.add_cx(int(c), int(t))
+        else:
+            tape.add(kind, target=int(rng.integers(n)),
+                     angle=float(rng.uniform(-np.pi, np.pi)))
+    return tape
+
+
+@pytest.mark.parametrize("n", [3, 6, 9])
+def test_csim_matches_jax(n):
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    eng = native.CsimEngine(ps)
+    tape = random_tape(n, 50, seed=n)
+    arrs = tape.arrays()
+    x = tape.x0()
+
+    psi_c = eng.apply_tape(zero_state(n, np.complex128), *arrs, x)
+    psi_j = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, arrs), jnp.asarray(x))
+    np.testing.assert_allclose(psi_c, np.asarray(psi_j), atol=1e-12)
+
+    e_c = eng.expectation(psi_c)
+    e_j = float(pauli_expectation(psi_j, *ps.device_arrays(jnp.complex128)))
+    assert e_c == pytest.approx(e_j, abs=1e-10)
+
+    e_fused = eng.tape_energy(zero_state(n, np.complex128), *arrs, x)
+    assert e_fused == pytest.approx(e_j, abs=1e-10)
+
+
+def test_csim_speed_smoke():
+    """The fused native energy should evaluate a 10q/200-term/80-gate
+    circuit in well under a millisecond-scale budget (COBYLA inner loop)."""
+    import time
+
+    n = 10
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    eng = native.CsimEngine(ps)
+    tape = random_tape(n, 80, seed=1)
+    arrs = tape.arrays()
+    x = tape.x0()
+    psi0 = zero_state(n, np.complex128)
+    eng.tape_energy(psi0, *arrs, x)  # warm
+    t0 = time.time()
+    for _ in range(20):
+        eng.tape_energy(psi0, *arrs, x)
+    dt = (time.time() - t0) / 20
+    assert dt < 0.05, f"csim energy too slow: {dt*1e3:.1f} ms"
