@@ -253,9 +253,13 @@ class CircuitEnv:
     # -- helpers --------------------------------------------------------------
 
     def _psi0(self):
-        if self._tn_psi is not None:
-            return self._tn_psi
-        return zero_state(self.num_qubits, self.dtype)
+        """Initial statevector as an (re, im) real pair — complex arrays
+        cannot cross jit boundaries on some TPU transports."""
+        rdt = np.float32 if self.dtype == jnp.complex64 else np.float64
+        psi = (self._tn_psi if self._tn_psi is not None
+               else zero_state(self.num_qubits, self.dtype))
+        return (np.ascontiguousarray(np.real(psi), dtype=rdt),
+                np.ascontiguousarray(np.imag(psi), dtype=rdt))
 
     def _tape(self, state: StateTensor):
         return state.to_tape(self.tape_capacity, self.rot_capacity)

@@ -104,7 +104,17 @@ class AngleOptimizer:
 
     # -- energy ---------------------------------------------------------------
 
+    def _as_complex(self, psi0):
+        """Statevectors cross jit boundaries as (re, im) real pairs on some
+        TPU transports (complex transfers are unimplemented); combine inside
+        the trace.  Plain complex arrays are accepted too (CPU paths)."""
+        if isinstance(psi0, tuple):
+            re, im = psi0
+            return (re + 1j * im).astype(self.dtype)
+        return psi0
+
     def _energy(self, psi0, kind, tq, cq, slot, x, key):
+        psi0 = self._as_complex(psi0)
         if self.noise_mode == "depolarizing":
             def one(k):
                 psi = apply_tape_depolarizing(
@@ -247,7 +257,8 @@ class AngleOptimizer:
             xa = x0_np.copy()
             csim = self._csim_engine() if self.noise_mode == "none" else None
             if csim is not None:
-                psi0_np = np.asarray(psi0).astype(np.complex128)
+                psi0_np = np.asarray(self._as_complex(psi0)).astype(
+                    np.complex128)
                 kind_np, tq_np = np.asarray(kind), np.asarray(tq)
                 cq_np, slot_np = np.asarray(cq), np.asarray(slot)
 
