@@ -31,6 +31,7 @@ import optax
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
 from tensorrl_qas_tpu.models.qnet import QNetwork
 from tensorrl_qas_tpu.agents.replay import (
+    DeviceReplay,
     NStepReplayMemory,
     PrioritizedReplayMemory,
     ReplayMemory,
@@ -96,7 +97,15 @@ class DQN:
         self.step_counter = 0
 
         memory_size = agent_c["memory_size"]
-        if self.prioritized_replay:
+        # device-resident replay by default: the sampled batch is gathered
+        # on device by index, so the ~30MB (batch, state) tensors never
+        # cross the host boundary per train step
+        self.device_replay = int(agent_c.get("device_replay", 1))
+        if self.device_replay:
+            self.memory = DeviceReplay(memory_size, self.state_size,
+                                       seed=seed + 1,
+                                       per=bool(self.prioritized_replay))
+        elif self.prioritized_replay:
             self.memory = PrioritizedReplayMemory(memory_size, self.state_size,
                                                   seed=seed + 1)
         else:
@@ -117,6 +126,7 @@ class DQN:
                           self.model.apply(p, x, deterministic=True)),
                 axis=1))
         self._train = jax.jit(self._train_step)
+        self._train_gather = jax.jit(self._train_step_gather)
 
     # -- acting --------------------------------------------------------------
 
@@ -160,6 +170,15 @@ class DQN:
 
     # -- learning --------------------------------------------------------------
 
+    def _train_step_gather(self, params, target_params, opt_state,
+                           buf_states, buf_actions, buf_rewards,
+                           buf_next_states, buf_dones, idx, weights):
+        """Device-replay variant: gather the batch by index on device."""
+        return self._train_step(
+            params, target_params, opt_state,
+            buf_states[idx], buf_actions[idx], buf_rewards[idx],
+            buf_next_states[idx], buf_dones[idx], weights)
+
     def _train_step(self, params, target_params, opt_state,
                     states, actions, rewards, next_states, dones, weights):
         def loss_fn(p):
@@ -196,15 +215,25 @@ class DQN:
             self.target_params = jax.tree.map(jnp.copy, self.params)
         self.step_counter += 1
 
-        idx, batch, weights = self._sample(batch_size)
-        states, actions, rewards, next_states, dones = batch
-        self.params, self.opt_state, loss, td = self._train(
-            self.params, self.target_params, self.opt_state,
-            jnp.asarray(states), jnp.asarray(actions), jnp.asarray(rewards),
-            jnp.asarray(next_states), jnp.asarray(dones), jnp.asarray(weights))
-
-        if idx is not None:
-            self.memory.update_priorities(idx, np.asarray(td))
+        if self.device_replay:
+            idx, weights = self.memory.sample_indices(
+                batch_size, frame_idx=self.step_counter)
+            self.params, self.opt_state, loss, td = self._train_gather(
+                self.params, self.target_params, self.opt_state,
+                *self.memory.buffers(), jnp.asarray(idx),
+                jnp.asarray(weights))
+            if self.prioritized_replay:
+                self.memory.update_priorities(idx, np.asarray(td))
+        else:
+            idx, batch, weights = self._sample(batch_size)
+            states, actions, rewards, next_states, dones = batch
+            self.params, self.opt_state, loss, td = self._train(
+                self.params, self.target_params, self.opt_state,
+                jnp.asarray(states), jnp.asarray(actions),
+                jnp.asarray(rewards), jnp.asarray(next_states),
+                jnp.asarray(dones), jnp.asarray(weights))
+            if idx is not None:
+                self.memory.update_priorities(idx, np.asarray(td))
 
         if self.epsilon > self.epsilon_min:
             self.epsilon = max(self.epsilon * self.epsilon_decay,
@@ -240,10 +269,16 @@ class DQN_Nstep(DQN):
     def __init__(self, conf, action_size, state_size, seed: int = 0):
         super().__init__(conf, action_size, state_size, seed)
         self.prioritized_replay = 0
-        self.memory = NStepReplayMemory(conf["agent"]["memory_size"],
-                                        self.state_size,
-                                        conf["agent"]["n_step"], self.gamma,
-                                        seed=seed + 1)
+        if self.device_replay:
+            self.memory = DeviceReplay(conf["agent"]["memory_size"],
+                                       self.state_size, seed=seed + 1,
+                                       n_step=conf["agent"]["n_step"],
+                                       gamma=self.gamma)
+        else:
+            self.memory = NStepReplayMemory(conf["agent"]["memory_size"],
+                                            self.state_size,
+                                            conf["agent"]["n_step"],
+                                            self.gamma, seed=seed + 1)
 
 
 _AGENT_CLASSES = {"DQN": DQN, "DQN_Nstep": DQN_Nstep}

@@ -117,6 +117,158 @@ class PrioritizedReplayMemory(ReplayMemory):
         self.priorities = np.zeros(self.capacity, dtype=np.float32)
 
 
+class DeviceReplay:
+    """Device-resident replay buffer.
+
+    Transitions accumulate in a small host-side pending list and are flushed
+    to preallocated device arrays in one scatter right before sampling; the
+    training step then *gathers the batch on device by index*, so the
+    (batch, state_size) tensors never cross the host boundary (a 1000x4137
+    f32 batch is ~33 MB per replay otherwise — the single largest transfer
+    in the loop).  Supports n-step reward folding at push time and
+    prioritized sampling (priorities stay host-side; they are O(capacity)
+    scalars).
+    """
+
+    def __init__(self, capacity: int, state_size: int, seed: int = 0,
+                 n_step: int = 0, gamma: float = 1.0, per: bool = False,
+                 alpha: float = 0.6, beta_start: float = 0.4,
+                 beta_frames: int = 100000):
+        import jax.numpy as jnp
+
+        self.capacity = capacity
+        self.state_size = state_size
+        self.rng = np.random.default_rng(seed)
+        self.n_step = n_step
+        self.gamma = gamma
+        self.per = per
+        self.alpha = alpha
+        self.beta_start = beta_start
+        self.beta_frames = beta_frames
+        self.window: deque = deque(maxlen=max(n_step, 1))
+        self._pending: list = []
+        self._jnp = jnp
+        self.states = jnp.zeros((capacity, state_size), jnp.float32)
+        self.next_states = jnp.zeros((capacity, state_size), jnp.float32)
+        self.actions = jnp.zeros(capacity, jnp.int32)
+        self.rewards = jnp.zeros(capacity, jnp.float32)
+        self.dones = jnp.zeros(capacity, jnp.float32)
+        self.priorities = np.zeros(capacity, dtype=np.float32)
+        self.position = 0
+        self.size = 0
+
+    def push(self, state, action, reward, next_state, done) -> None:
+        if self.n_step:
+            self.window.append((state, action, reward, next_state, done))
+            if len(self.window) < self.n_step:
+                return
+            r, ns, dn = self._fold()
+            s0, a0 = self.window[0][0], self.window[0][1]
+            self._pending.append((s0, a0, r, ns, dn))
+        else:
+            self._pending.append((state, action, reward, next_state, done))
+
+    def _fold(self):
+        r, next_n, done_n = (self.window[-1][2], self.window[-1][3],
+                             self.window[-1][4])
+        for _, _, rwd, nxt, dn in reversed(list(self.window)[:-1]):
+            r = self.gamma * r * (1 - dn) + rwd
+            if dn:
+                next_n, done_n = nxt, dn
+        return r, next_n, done_n
+
+    def flush(self) -> None:
+        """One scatter uploads all pending transitions."""
+        if not self._pending:
+            return
+        jnp = self._jnp
+        k = len(self._pending)
+        idx = (self.position + np.arange(k)) % self.capacity
+        s = np.stack([p[0] for p in self._pending]).astype(np.float32)
+        a = np.asarray([p[1] for p in self._pending], np.int32)
+        r = np.asarray([p[2] for p in self._pending], np.float32)
+        ns = np.stack([p[3] for p in self._pending]).astype(np.float32)
+        d = np.asarray([p[4] for p in self._pending], np.float32)
+        jidx = jnp.asarray(idx)
+        self.states = self.states.at[jidx].set(jnp.asarray(s))
+        self.next_states = self.next_states.at[jidx].set(jnp.asarray(ns))
+        self.actions = self.actions.at[jidx].set(jnp.asarray(a))
+        self.rewards = self.rewards.at[jidx].set(jnp.asarray(r))
+        self.dones = self.dones.at[jidx].set(jnp.asarray(d))
+        if self.per:
+            max_p = self.priorities[: self.size].max() if self.size else 1.0
+            self.priorities[idx] = max_p
+        self._pending.clear()
+        self.position = int((self.position + k) % self.capacity)
+        self.size = min(self.size + k, self.capacity)
+
+    def sample_indices(self, batch_size: int, frame_idx: int = 0):
+        """-> (idx (B,) numpy, is_weights (B,) numpy or scalar 1.0)."""
+        self.flush()
+        if self.per:
+            pri = self.priorities[: self.size]
+            probs = pri ** self.alpha
+            probs = probs / probs.sum()
+            idx = self.rng.choice(self.size, size=batch_size, p=probs)
+            beta = min(1.0, self.beta_start + frame_idx
+                       * (1.0 - self.beta_start) / self.beta_frames)
+            w = (self.size * probs[idx]) ** (-beta)
+            return idx, (w / w.max()).astype(np.float32)
+        idx = self.rng.choice(self.size, size=batch_size,
+                              replace=batch_size > self.size)
+        return idx, np.float32(1.0)
+
+    def buffers(self):
+        return (self.states, self.actions, self.rewards, self.next_states,
+                self.dones)
+
+    def update_priorities(self, idx, td_errors, epsilon: float = 1e-5):
+        self.priorities[idx] = np.abs(np.asarray(td_errors)).reshape(-1) + epsilon
+
+    def __len__(self) -> int:
+        return self.size + len(self._pending)
+
+    def clean_memory(self) -> None:
+        jnp = self._jnp
+        self.states = jnp.zeros_like(self.states)
+        self.next_states = jnp.zeros_like(self.next_states)
+        self.actions = jnp.zeros_like(self.actions)
+        self.rewards = jnp.zeros_like(self.rewards)
+        self.dones = jnp.zeros_like(self.dones)
+        self.priorities[:] = 0
+        self._pending.clear()
+        self.window = deque(maxlen=max(self.n_step, 1))
+        self.position = 0
+        self.size = 0
+
+    # -- checkpointing (f32/int d2h transfers are safe) ---------------------
+
+    def state_dict(self):
+        self.flush()
+        n = self.size
+        return {"states": np.asarray(self.states[:n]),
+                "actions": np.asarray(self.actions[:n]),
+                "rewards": np.asarray(self.rewards[:n]),
+                "next_states": np.asarray(self.next_states[:n]),
+                "dones": np.asarray(self.dones[:n]),
+                "position": self.position, "size": n}
+
+    def load_state_dict(self, d):
+        jnp = self._jnp
+        n = int(d["size"])
+        self.clean_memory()
+        jidx = jnp.arange(n)
+        self.states = self.states.at[jidx].set(jnp.asarray(d["states"]))
+        self.next_states = self.next_states.at[jidx].set(
+            jnp.asarray(d["next_states"]))
+        self.actions = self.actions.at[jidx].set(
+            jnp.asarray(d["actions"], jnp.int32))
+        self.rewards = self.rewards.at[jidx].set(jnp.asarray(d["rewards"]))
+        self.dones = self.dones.at[jidx].set(jnp.asarray(d["dones"]))
+        self.position = int(d["position"]) % self.capacity
+        self.size = n
+
+
 class NStepReplayMemory(ReplayMemory):
     """n-step return folding at push time
     (reference ``agents/DeepQNstep.py:59-99``): the stored transition is

@@ -73,7 +73,8 @@ def load_qasm_tape(path: str, capacity: int | None = None,
 
 _KIND_TO_QASM = {GateKind.RX: "rx", GateKind.RY: "ry", GateKind.RZ: "rz",
                  GateKind.X: "x", GateKind.Y: "y", GateKind.Z: "z",
-                 GateKind.H: "h"}
+                 GateKind.H: "h", GateKind.RXX: "rxx", GateKind.RYY: "ryy",
+                 GateKind.RZZ: "rzz"}
 
 
 def dump_qasm(tape: GateTape) -> str:
@@ -85,6 +86,10 @@ def dump_qasm(tape: GateTape) -> str:
             continue
         if kind == GateKind.CX:
             lines.append(f"cx q[{tape.cq[g]}],q[{tape.tq[g]}];")
+        elif kind in (GateKind.RXX, GateKind.RYY, GateKind.RZZ):
+            theta = float(tape.angles[tape.angle_slot[g]])
+            lines.append(f"{_KIND_TO_QASM[kind]}({theta!r}) "
+                         f"q[{tape.cq[g]}],q[{tape.tq[g]}];")
         elif kind in (GateKind.RX, GateKind.RY, GateKind.RZ):
             theta = float(tape.angles[tape.angle_slot[g]])
             lines.append(f"{_KIND_TO_QASM[kind]}({theta!r}) q[{tape.tq[g]}];")

@@ -34,12 +34,22 @@ class GateKind(enum.IntEnum):
     Y = 6
     Z = 7
     H = 8
+    # two-qubit Pauli rotations (SU(4) action-set variant,
+    # reference environments/VQAs/VQE_qulacs_su4.py): gate acts on
+    # (target, control-slot-as-second-qubit)
+    RXX = 9
+    RYY = 10
+    RZZ = 11
 
 
-ROTATION_KINDS = (GateKind.RX, GateKind.RY, GateKind.RZ)
+ROTATION_KINDS = (GateKind.RX, GateKind.RY, GateKind.RZ,
+                  GateKind.RXX, GateKind.RYY, GateKind.RZZ)
+TWO_QUBIT_ROTATIONS = (GateKind.RXX, GateKind.RYY, GateKind.RZZ)
 _QASM_NAMES = {"rx": GateKind.RX, "ry": GateKind.RY, "rz": GateKind.RZ,
                "x": GateKind.X, "y": GateKind.Y, "z": GateKind.Z,
                "h": GateKind.H}
+_QASM_2Q_NAMES = {"rxx": GateKind.RXX, "ryy": GateKind.RYY,
+                  "rzz": GateKind.RZZ}
 
 
 @dataclasses.dataclass
@@ -122,13 +132,17 @@ def tape_from_gate_list(n_qubits: int, gates, capacity: int | None = None,
                         rot_capacity: int | None = None) -> GateTape:
     """Build a tape from ``(name, qubits, angle)`` tuples (e.g. QASM import)."""
     gates = list(gates)
-    n_rot = sum(1 for g in gates if g[0] in ("rx", "ry", "rz"))
+    n_rot = sum(1 for g in gates
+                if g[0] in ("rx", "ry", "rz", "rxx", "ryy", "rzz"))
     tape = GateTape(n_qubits,
                     capacity if capacity is not None else max(len(gates), 1),
                     rot_capacity if rot_capacity is not None else max(n_rot, 1))
     for name, qubits, angle in gates:
         if name == "cx":
             tape.add_cx(qubits[0], qubits[1])
+        elif name in _QASM_2Q_NAMES:
+            tape.add(_QASM_2Q_NAMES[name], target=qubits[1],
+                     control=qubits[0], angle=angle or 0.0)
         elif name in _QASM_NAMES:
             tape.add(_QASM_NAMES[name], target=qubits[0], angle=angle or 0.0)
         else:

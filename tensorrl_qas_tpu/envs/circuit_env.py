@@ -86,6 +86,7 @@ class EnvConfig:
     restart_scale: float = 0.1
     # numerics
     sim_dtype: str = "auto"               # 'auto' | 'complex64' | 'complex128'
+    use_pallas: str = "auto"              # 'auto' | 'on' | 'off'
     seed: int = 0
 
     @classmethod
@@ -216,13 +217,23 @@ class CircuitEnv:
         noise_p1, noise_p2 = 0.01, 0.05  # reference VQE_qulacs_noise.py:32,45
         if len(cfg.noise_values) >= 2:
             noise_p1, noise_p2 = cfg.noise_values[0], cfg.noise_values[1]
+        # Pallas fused kernels: O(iters) launches instead of
+        # O(iters x gates); TPU-only (CPU runs the XLA path), n <= 10
+        if cfg.use_pallas == "on":
+            use_pallas = True
+        elif cfg.use_pallas == "off":
+            use_pallas = False
+        else:
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and (1 << n) <= 1024
+                          and cfg.noise_mode == "none")
         self.optimizer = AngleOptimizer(
             self.problem.pauli.device_arrays(self.dtype),
             method=cfg.optim_alg,
             iters=cfg.global_iters, n_starts=cfg.n_starts, lr=cfg.adam_lr,
             restart_scale=cfg.restart_scale, dtype=self.dtype,
             noise_mode=cfg.noise_mode, noise_p1=noise_p1, noise_p2=noise_p2,
-            n_shots=cfg.n_shots, n_traj=cfg.n_traj)
+            n_shots=cfg.n_shots, n_traj=cfg.n_traj, use_pallas=use_pallas)
         # enable the native host engine for the COBYLA parity path
         self.optimizer._pauli_obj = self.problem.pauli
 

@@ -1,22 +1,24 @@
-"""Pallas TPU kernel: fused gate-tape application.
+"""Pallas TPU kernels: fused gate-tape application, forward and adjoint.
 
 The XLA path (sim/apply.py) lowers each gate of the ``lax.scan`` to a
-gather + elementwise combine, with the state bouncing through HBM between
-gates.  This kernel keeps the whole (B, 2^n) state batch resident in VMEM
-for the entire tape and expresses the XOR-partner permutation as a (D, D)
-0/1 matmul built in-register from broadcasted iotas — i.e. the permutation
-rides the MXU, which is both faster than a dynamic gather on TPU and free
-of dynamic-index lowering restrictions.  Complex amplitudes are carried as
-separate re/im f32 planes (TPU has no native complex).
+gather + elementwise combine — a ~2G-kernel chain per energy+gradient
+evaluation whose cost is pure launch latency at statevector sizes.  These
+kernels keep the whole (B, 2^n) state batch resident in VMEM for the
+entire tape:
 
-Scope: D = 2^n up to 1024 (n <= 10; the (D, D) partner matrix must fit
-VMEM).  Larger n falls back to the XLA gather path.  Tape scalars
-(kind/target/control/angle-slot) ride SMEM via scalar prefetch.
+- the XOR-partner permutation is a (D, D) 0/1 matmul built in-register
+  from broadcasted iotas, i.e. it rides the MXU (no dynamic gathers);
+- complex amplitudes are separate re/im f32 planes (TPU has no native
+  complex), which also sidesteps complex-at-jit-boundary transport issues;
+- each batch row carries its OWN angle vector (the multi-start optimizer);
+- the backward kernel implements adjoint differentiation in one pass:
+  undo gates with U^H on the state, propagate the cotangent with U^T
+  (JAX's vjp convention: d<theta> = Re[(dpsi/dtheta)^T g], verified against
+  jax.vjp), and accumulate d<theta>_g = 1/2 Im[(P_g psi)^T lambda].
 
-Gradients: exposed through ``jax.custom_vjp`` with an adjoint backward pass
-(reverse tape of inverse gates) built from the XLA path — forward-only
-callers (energy evaluation, COBYLA mode, trajectory sampling) get the full
-kernel benefit.
+Scope: D = 2^n <= 1024 (the (D, D) partner matrix must fit VMEM) and the
+CNOT+rotation(+pauli/H) gate set; larger n or the SU(4) two-qubit-rotation
+set falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -43,13 +45,16 @@ _H = int(GateKind.H)
 
 _INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 
+PALLAS_MAX_DIM = 1024
+PALLAS_KINDS_OK = (_RX, _RY, _RZ, _CX, _X, _Y, _Z, _H, int(GateKind.NONE))
+
 
 def _gate_coeffs(k, theta):
-    """Scalar (re, im) parts of the 2x2 unitary entries, branchless."""
+    """(re, im) parts of the 2x2 unitary entries; theta may be (B, 1)."""
     c = jnp.cos(0.5 * theta)
     s = jnp.sin(0.5 * theta)
-    zero = jnp.float32(0.0)
-    one = jnp.float32(1.0)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
 
     is_rx = k == _RX
     is_ry = k == _RY
@@ -58,126 +63,272 @@ def _gate_coeffs(k, theta):
     is_y = k == _Y
     is_z = k == _Z
     is_h = k == _H
-    is_rot_diag = is_rx | is_ry           # cos on the diagonal
+    is_rot_diag = is_rx | is_ry
     is_id = ~(is_rx | is_ry | is_rz | is_x | is_y | is_z | is_h)
 
-    u00r = jnp.where(is_rot_diag, c,
-                     jnp.where(is_rz, c,
-                               jnp.where(is_h, _INV_SQRT2,
-                                         jnp.where(is_id | is_z, one, zero))))
+    u00r = jnp.where(is_rot_diag | is_rz, c,
+                     jnp.where(is_h, _INV_SQRT2 * one,
+                               jnp.where(is_id | is_z, one, zero)))
     u00i = jnp.where(is_rz, -s, zero)
-    u11r = jnp.where(is_rot_diag, c,
-                     jnp.where(is_rz, c,
-                               jnp.where(is_h, -_INV_SQRT2,
-                                         jnp.where(is_id, one,
-                                                   jnp.where(is_z, -one,
-                                                             zero)))))
+    u11r = jnp.where(is_rot_diag | is_rz, c,
+                     jnp.where(is_h, -_INV_SQRT2 * one,
+                               jnp.where(is_id, one,
+                                         jnp.where(is_z, -one, zero))))
     u11i = jnp.where(is_rz, s, zero)
     u01r = jnp.where(is_ry, -s, jnp.where(is_x, one,
-                                          jnp.where(is_h, _INV_SQRT2, zero)))
+                                          jnp.where(is_h, _INV_SQRT2 * one,
+                                                    zero)))
     u01i = jnp.where(is_rx, -s, jnp.where(is_y, -one, zero))
     u10r = jnp.where(is_ry, s, jnp.where(is_x, one,
-                                         jnp.where(is_h, _INV_SQRT2, zero)))
+                                         jnp.where(is_h, _INV_SQRT2 * one,
+                                                   zero)))
     u10i = jnp.where(is_rx, -s, jnp.where(is_y, one, zero))
     return (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i)
 
 
-def _kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
-            re_ref, im_ref, ore_ref, oim_ref):
+def _apply_u(re, im, coeffs, p, b, act):
+    """One (controlled) 1q combine on re/im planes.
+
+    coeffs: the 8 entry parts, each (B, 1); p: (D, D) partner matmul
+    matrix; b: (1, D) target-bit; act: (1, D) control activity.
+    """
+    (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = coeffs
+    pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
+    pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+    dr = jnp.where(b == 0, u00r, u11r)
+    di = jnp.where(b == 0, u00i, u11i)
+    fr = jnp.where(b == 0, u01r, u10r)
+    fi = jnp.where(b == 0, u01i, u10i)
+    nre = dr * re - di * im + fr * pre - fi * pim
+    nim = dr * im + di * re + fr * pim + fi * pre
+    return (act * nre + (1.0 - act) * re,
+            act * nim + (1.0 - act) * im, pre, pim)
+
+
+def _masks(t, c, col, xor_ij):
+    p = (xor_ij == (1 << t)).astype(jnp.float32)
+    b = ((col >> t) & 1).astype(jnp.float32)
+    act = jnp.where(c >= 0,
+                    ((col >> jnp.maximum(c, 0)) & 1).astype(jnp.float32),
+                    jnp.float32(1.0))
+    return p, b, act
+
+
+def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
+                re_ref, im_ref, ore_ref, oim_ref):
+    """Grid over env replicas: program e applies ITS tape (row e of the
+    prefetched scalar arrays) to its (S, D) block of states/angles."""
+    e = pl.program_id(0)
     d = re_ref.shape[-1]
-    n_gates = kind_ref.shape[0]
+    n_gates = kind_ref.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
     row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
-    col_j = lax.broadcasted_iota(jnp.int32, (d, d), 1)
-    xor_ij = row_i ^ col_j
+    xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
 
     ore_ref[:] = re_ref[:]
     oim_ref[:] = im_ref[:]
 
+    r = angles_ref.shape[-1]
+    slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+
     def body(g, _):
-        k = kind_ref[g]
-        t = tq_ref[g]
-        c = cq_ref[g]
-        s = slot_ref[g]
-        theta = jnp.where(s >= 0, angles_ref[jnp.maximum(s, 0)],
-                          jnp.float32(0.0))
-        (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = _gate_coeffs(
-            k, theta)
-
-        # partner permutation as an MXU matmul: P[i, j] = [j == i ^ 2^t]
-        p = (xor_ij == (1 << t)).astype(jnp.float32)
-        re = ore_ref[:]
-        im = oim_ref[:]
-        pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
-        pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
-
-        b = ((col >> t) & 1).astype(jnp.float32)          # target bit
-        act = jnp.where(c >= 0,
-                        ((col >> jnp.maximum(c, 0)) & 1).astype(jnp.float32),
-                        jnp.float32(1.0))                  # control bit
-
-        dr = jnp.where(b == 0, u00r, u11r)
-        di = jnp.where(b == 0, u00i, u11i)
-        fr = jnp.where(b == 0, u01r, u10r)
-        fi = jnp.where(b == 0, u01i, u10i)
-
-        nre = dr * re - di * im + fr * pre - fi * pim
-        nim = dr * im + di * re + fr * pim + fi * pre
-        ore_ref[:] = act * nre + (1.0 - act) * re
-        oim_ref[:] = act * nim + (1.0 - act) * im
+        k = kind_ref[e, g]
+        t = tq_ref[e, g]
+        c = cq_ref[e, g]
+        s = slot_ref[e, g]
+        # dynamic-lane reads are unsupported on TPU; select the angle
+        # column with a one-hot contraction instead
+        onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
+        theta = jnp.dot(angles_ref[0], onehot,
+                        preferred_element_type=jnp.float32)      # (S, 1)
+        theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
+        coeffs = _gate_coeffs(k, theta)
+        p, b, act = _masks(t, c, col, xor_ij)
+        nre, nim, _, _ = _apply_u(ore_ref[0], oim_ref[0], coeffs, p, b, act)
+        ore_ref[0] = nre
+        oim_ref[0] = nim
         return 0
 
     lax.fori_loop(0, n_gates, body, 0)
 
 
-def _pallas_forward(re, im, kind, tq, cq, slot, angles, interpret=False):
-    batch, d = re.shape
+def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
+                ore_ref, oim_ref, gre_ref, gim_ref,
+                dre_ref, dim_ref, dang_ref,
+                psr_ref, psi_ref_s):
+    """Adjoint pass (grid over env replicas): inputs are the forward OUTPUT
+    state and the cotangent; outputs the psi0-cotangent and per-angle
+    gradients (S, R) per program."""
+    e = pl.program_id(0)
+    d = ore_ref.shape[-1]
+    n_gates = kind_ref.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
+
+    psr_ref[:] = ore_ref[0]       # psi (state) scratch
+    psi_ref_s[:] = oim_ref[0]
+    # complex cotangent G = gre - i*gim (real-plane cotangents relate to
+    # the complex one with a conjugated imaginary part under JAX's
+    # dtheta = Re[(dpsi/dtheta)^T G] convention)
+    dre_ref[0] = gre_ref[0]
+    dim_ref[0] = -gim_ref[0]
+    dang_ref[:] = jnp.zeros_like(dang_ref)
+
+    r = angles_ref.shape[-1]
+    slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
+
+    def body(i, _):
+        g = n_gates - 1 - i
+        k = kind_ref[e, g]
+        t = tq_ref[e, g]
+        c = cq_ref[e, g]
+        s = slot_ref[e, g]
+        onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
+        theta = jnp.dot(angles_ref[0], onehot,
+                        preferred_element_type=jnp.float32)      # (S, 1)
+        theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
+        (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = _gate_coeffs(
+            k, theta)
+        p, b, act = _masks(t, c, col, xor_ij)
+        re = psr_ref[:]
+        im = psi_ref_s[:]
+        lre = dre_ref[0]
+        lim = dim_ref[0]
+
+        # --- angle gradient: 1/2 Im[(P psi)^T lambda], P in {X, Y, Z} ----
+        @pl.when(s >= 0)
+        def _():
+            pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
+            pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+            sgn = 1.0 - 2.0 * b                 # (-1)^bit
+            is_rx = (k == _RX).astype(jnp.float32)
+            is_ry = (k == _RY).astype(jnp.float32)
+            is_rz = (k == _RZ).astype(jnp.float32)
+            # X: (pre, pim); Y: (sgn*pim... ) f = i*(2b-1): re=-(2b-1)pim
+            y_re = sgn * pim                    # -(2b-1) = sgn
+            y_im = -sgn * pre
+            z_re = sgn * re
+            z_im = sgn * im
+            pr = is_rx * pre + is_ry * y_re + is_rz * z_re
+            pi = is_rx * pim + is_ry * y_im + is_rz * z_im
+            contrib = 0.5 * jnp.sum(pr * lim + pi * lre, axis=-1,
+                                    keepdims=True)            # (S, 1)
+            # dynamic-lane stores are unsupported: scatter via one-hot row
+            dang_ref[0] = dang_ref[0] + contrib * (
+                slot_row == s).astype(jnp.float32)
+
+        # --- undo state with U^H (conj + swap of off-diagonals) -----------
+        coeffs_h = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
+        nre, nim, _, _ = _apply_u(re, im, coeffs_h, p, b, act)
+        psr_ref[:] = nre
+        psi_ref_s[:] = nim
+
+        # --- propagate cotangent with U^T (swap of off-diagonals) ---------
+        coeffs_t = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
+        nlr, nli, _, _ = _apply_u(lre, lim, coeffs_t, p, b, act)
+        dre_ref[0] = nlr
+        dim_ref[0] = nli
+        return 0
+
+    lax.fori_loop(0, n_gates, body, 0)
+    # back to real-plane convention for the psi0 cotangent
+    dim_ref[0] = -dim_ref[0]
+
+
+def _esd_spec(s_batch, x):
+    """Block spec for an (E, S, X) array: one (1, S, X) block per program.
+    (index_map receives the scalar-prefetch refs as trailing args.)"""
+    return pl.BlockSpec((1, s_batch, x), lambda e, *_: (e, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _call_fwd(re, im, kind, tq, cq, slot, angles, interpret):
+    n_env, s_batch, d = re.shape
+    r = angles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,      # kind, tq, cq, slot, angles in SMEM
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        num_scalar_prefetch=4,
+        grid=(n_env,),
+        in_specs=[_esd_spec(s_batch, r), _esd_spec(s_batch, d),
+                  _esd_spec(s_batch, d)],
+        out_specs=(_esd_spec(s_batch, d), _esd_spec(s_batch, d)),
     )
     return pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((batch, d), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, d), jnp.float32)),
+        _fwd_kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_env, s_batch, d), jnp.float32),) * 2,
         interpret=interpret,
     )(kind, tq, cq, slot, angles.astype(jnp.float32), re, im)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def apply_tape_pallas(psi, kind, tq, cq, slot, angles, interpret=False):
-    """Fused tape application: (B, 2^n) complex64 batch -> same.
+def _call_bwd(ore, oim, gre, gim, kind, tq, cq, slot, angles, interpret):
+    n_env, s_batch, d = ore.shape
+    r = angles.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_env,),
+        in_specs=[_esd_spec(s_batch, r)] + [_esd_spec(s_batch, d)] * 4,
+        out_specs=(_esd_spec(s_batch, d), _esd_spec(s_batch, d),
+                   _esd_spec(s_batch, r)),
+        scratch_shapes=[pltpu.VMEM((s_batch, d), jnp.float32),
+                        pltpu.VMEM((s_batch, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _bwd_kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_env, s_batch, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_env, s_batch, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_env, s_batch, r), jnp.float32)),
+        interpret=interpret,
+    )(kind, tq, cq, slot, angles.astype(jnp.float32), ore, oim, gre, gim)
 
-    Drop-in batched equivalent of ``sim.apply.apply_tape`` for n <= 10.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def apply_tape_pallas_ri(re, im, kind, tq, cq, slot, angles,
+                         interpret=False):
+    """Fused multi-env multi-start tape application on re/im planes.
+
+    re/im: (E, S, D) f32 — E env replicas (each with its own tape) x S
+    angle candidates; angles: (E, S, R) f32; kind/tq/cq/slot: (E, G) int32.
+    Returns (re, im) of the evolved states.
     """
-    re, im = _pallas_forward(jnp.real(psi).astype(jnp.float32),
-                             jnp.imag(psi).astype(jnp.float32),
-                             kind, tq, cq, slot, angles, interpret)
-    return (re + 1j * im).astype(jnp.complex64)
+    return _call_fwd(re, im, kind, tq, cq, slot, angles, interpret)
 
 
-def _fwd(psi, kind, tq, cq, slot, angles, interpret):
-    out = apply_tape_pallas(psi, kind, tq, cq, slot, angles, interpret)
-    return out, (psi, kind, tq, cq, slot, angles)
+def _fwd_rule(re, im, kind, tq, cq, slot, angles, interpret):
+    ore, oim = _call_fwd(re, im, kind, tq, cq, slot, angles, interpret)
+    return (ore, oim), (ore, oim, kind, tq, cq, slot, angles)
 
 
-def _bwd(interpret, res, g):
-    """Adjoint backward via the XLA path (correct for unitary tapes)."""
-    from tensorrl_qas_tpu.sim.apply import apply_tape
-
-    psi, kind, tq, cq, slot, angles = res
-
-    def forward(psi, angles):
-        return apply_tape(psi, kind, tq, cq, slot, angles)
-
-    _, vjp = jax.vjp(forward, psi, angles)
-    dpsi, dangles = vjp(g.astype(psi.dtype))
-    return dpsi, None, None, None, None, dangles
+def _int_zero(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
 
 
-apply_tape_pallas.defvjp(_fwd, _bwd)
+def _bwd_rule(interpret, res, g):
+    ore, oim, kind, tq, cq, slot, angles = res
+    gre, gim = g
+    dre, dim_, dang = _call_bwd(ore, oim, gre, gim, kind, tq, cq, slot,
+                                angles, interpret)
+    return (dre, dim_, _int_zero(kind), _int_zero(tq), _int_zero(cq),
+            _int_zero(slot), dang)
+
+
+apply_tape_pallas_ri.defvjp(_fwd_rule, _bwd_rule)
+
+
+def apply_tape_pallas(psi, kind, tq, cq, slot, angles, interpret=False):
+    """Compatibility wrapper: (B, D) complex batch, one tape, shared (R,)
+    or per-row (B, R) angles."""
+    b = psi.shape[0]
+    ang = jnp.tile(angles[None, :].astype(jnp.float32), (b, 1)) \
+        if angles.ndim == 1 else angles
+    re, im = apply_tape_pallas_ri(
+        jnp.real(psi).astype(jnp.float32)[None],
+        jnp.imag(psi).astype(jnp.float32)[None],
+        jnp.asarray(kind)[None], jnp.asarray(tq)[None],
+        jnp.asarray(cq)[None], jnp.asarray(slot)[None], ang[None], interpret)
+    return (re[0] + 1j * im[0]).astype(jnp.complex64)
+
+
+def pallas_supported(n_qubits: int, kinds) -> bool:
+    return ((1 << n_qubits) <= PALLAS_MAX_DIM
+            and bool(np.all(np.isin(np.asarray(kinds), PALLAS_KINDS_OK))))

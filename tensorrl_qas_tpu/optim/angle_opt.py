@@ -61,7 +61,8 @@ class AngleOptimizer:
                  n_starts: int = 8, lr: float = 0.1,
                  restart_scale: float = 0.1, dtype=jnp.complex64,
                  noise_mode: str = "none", noise_p1: float = 0.01,
-                 noise_p2: float = 0.05, n_shots: int = 0, n_traj: int = 1):
+                 noise_p2: float = 0.05, n_shots: int = 0, n_traj: int = 1,
+                 use_pallas: bool = False):
         self.pauli = pauli_arrays
         self.method = method
         self.iters = iters
@@ -74,9 +75,12 @@ class AngleOptimizer:
         self.noise_p2 = noise_p2
         self.n_shots = n_shots
         self.n_traj = n_traj
+        self.use_pallas = use_pallas and noise_mode == "none"
+        self.pallas_interpret = False   # tests set True to run on CPU
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
+        self._fused_pallas_jit = jax.jit(self._fused_step_pallas)
         # batched fused step over a leading env-replica axis; psi0 shared
         self._fused_batch_jit = jax.jit(jax.vmap(
             self._fused_step, in_axes=(None, 0, 0, 0, 0, 0, 0)))
@@ -202,10 +206,90 @@ class AngleOptimizer:
         rdtype = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
         x0 = jnp.asarray(np.asarray(x0, dtype=rdtype))
         active = (jnp.arange(x0.shape[0]) < n_active_old).astype(rdtype)
+        if self.use_pallas:
+            x_opt, e_new = self._fused_pallas_jit(
+                psi0, tuple(a[None] for a in old_tape_arrays), x0[None],
+                active[None], tuple(a[None] for a in new_tape_arrays),
+                jnp.asarray(map_idx)[None], key)
+            return (np.asarray(x_opt[0]), float(e_new[0]),
+                    self.iters * self.n_starts)
         x_opt, e_new = self._fused_jit(psi0, old_tape_arrays, x0, active,
                                        new_tape_arrays,
                                        jnp.asarray(map_idx), key)
         return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
+
+    # -- pallas fast path: whole multi-env multi-start optimization with
+    # O(iters) kernel launches instead of O(iters * gates) -----------------
+
+    def _fused_step_pallas(self, psi0_ri, old_arrs, x0, active, new_arrs,
+                           map_idx, key):
+        """(E, ...) batched fused step through the Pallas kernels.
+
+        psi0_ri: (re, im) each (D,); old/new_arrs: tuples of (E, G) int32;
+        x0/active/map_idx: (E, R); key: PRNGKey.
+        Returns (x_opt (E, R), e_new (E,)).
+        """
+        from tensorrl_qas_tpu.ops.pallas_apply import apply_tape_pallas_ri
+
+        re0, im0 = psi0_ri
+        e_env = x0.shape[0]
+        s = self.n_starts
+        d = re0.shape[-1]
+        re_b = jnp.broadcast_to(re0, (e_env, s, d))
+        im_b = jnp.broadcast_to(im0, (e_env, s, d))
+        re_1 = jnp.broadcast_to(re0, (e_env, 1, d))
+        im_1 = jnp.broadcast_to(im0, (e_env, 1, d))
+        kn, ko = jax.random.split(key)
+
+        noise = jax.random.normal(kn, (e_env, s, x0.shape[-1]),
+                                  dtype=x0.dtype) * self.restart_scale
+        noise = noise.at[:, 0, :].set(0.0)
+        starts = (x0[:, None, :] + noise) * active[:, None, :]
+
+        def energy_sum(xb, arrs, re_in, im_in):
+            ore, oim = apply_tape_pallas_ri(re_in, im_in, *arrs, xb,
+                                            self.pallas_interpret)
+            psi = (ore + 1j * oim).astype(self.dtype)
+            ev = pauli_expectation(psi.reshape(-1, d), *self.pauli)
+            ev = ev.reshape(xb.shape[0], xb.shape[1])
+            return jnp.sum(ev), ev
+
+        val_and_grad = jax.value_and_grad(energy_sum, has_aux=True)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        act_b = active[:, None, :]
+
+        def step(carry, i):
+            x, m, v, best_x, best_e = carry
+            (_, ev), g = val_and_grad(x, old_arrs, re_b, im_b)
+            g = g * act_b
+            better = ev < best_e
+            best_x = jnp.where(better[..., None], x, best_x)
+            best_e = jnp.where(better, ev, best_e)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            t = i.astype(x.dtype) + 1.0
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            x = x - self.lr * mhat / (jnp.sqrt(vhat) + eps)
+            return (x, m, v, best_x, best_e), None
+
+        init = (starts, jnp.zeros_like(starts), jnp.zeros_like(starts),
+                starts, jnp.full((e_env, s), jnp.inf, x0.dtype))
+        (x, _, _, best_x, best_e), _ = jax.lax.scan(
+            step, init, jnp.arange(self.iters))
+        (_, ev), _ = val_and_grad(x, old_arrs, re_b, im_b)
+        better = ev < best_e
+        best_x = jnp.where(better[..., None], x, best_x)
+        best_e = jnp.where(better, ev, best_e)
+
+        sel = jnp.argmin(best_e, axis=1)                        # (E,)
+        x_opt = jnp.take_along_axis(best_x, sel[:, None, None],
+                                    axis=1)[:, 0, :]            # (E, R)
+        x_new = jnp.where(map_idx >= 0,
+                          jnp.take_along_axis(
+                              x_opt, jnp.maximum(map_idx, 0), axis=1), 0.0)
+        _, e_new = energy_sum(x_new[:, None, :], new_arrs, re_1, im_1)
+        return x_opt, e_new[:, 0]
 
     def fused_step_batch(self, psi0, old_arrs_b, x0_b, n_active_b,
                          new_arrs_b, map_idx_b, keys):
@@ -220,9 +304,16 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        x_opt, e_new = self._fused_batch_jit(
-            psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
-            tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b), keys)
+        if self.use_pallas:
+            x_opt, e_new = self._fused_pallas_jit(
+                psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
+                tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),
+                keys[0])
+        else:
+            x_opt, e_new = self._fused_batch_jit(
+                psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
+                tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),
+                keys)
         return (np.asarray(x_opt), np.asarray(e_new),
                 self.iters * self.n_starts)
 

@@ -52,8 +52,9 @@ def _gate_matrix(kind, theta, dtype):
     def m(a, b, c_, d):
         return jnp.stack([jnp.stack([a, b]), jnp.stack([c_, d])])
 
+    eye = lambda: m(one, zero, zero, one)  # noqa: E731
     branches = [
-        lambda: m(one, zero, zero, one),                       # NONE
+        eye,                                                   # NONE
         lambda: m(c, mi * s, mi * s, c),                       # RX
         lambda: m(c, -s * one, s * one, c),                    # RY
         lambda: m(c + mi * s, zero, zero, c - mi * s),         # RZ
@@ -62,8 +63,38 @@ def _gate_matrix(kind, theta, dtype):
         lambda: m(zero, mi, -mi, zero),                        # Y
         lambda: m(one, zero, zero, -one),                      # Z
         lambda: m(one, one, one, -one) / jnp.sqrt(2).astype(dtype),  # H
+        eye, eye, eye,   # RXX/RYY/RZZ handled by the 2q-rotation path
     ]
     return lax.switch(kind, branches)
+
+
+def _apply_two_pauli_rot(psi, kind, theta, qa, qb):
+    """exp(-i theta (P_a P_b)/2) for P in {X, Y, Z} (kinds RXX/RYY/RZZ).
+
+    new = cos(t/2) psi - i sin(t/2) (P_a P_b) psi, where the Pauli-pair
+    action is a flip-and-phase on the flat index (same masks as the
+    expectation kernel): XX flips both bits; YY flips both with
+    -(-1)^parity; ZZ phases by (-1)^parity.
+    """
+    from tensorrl_qas_tpu.circuits.tape import GateKind
+
+    dtype = psi.dtype
+    dim = psi.shape[-1]
+    idx = jnp.arange(dim, dtype=jnp.int32)
+    mask = (1 << qa) | (1 << qb)
+    par = ((idx >> qa) & 1) ^ ((idx >> qb) & 1)
+    sign = (1.0 - 2.0 * par).astype(dtype)
+
+    is_xx = kind == int(GateKind.RXX)
+    is_yy = kind == int(GateKind.RYY)
+    flip = jnp.where(is_xx | is_yy, mask, 0)
+    phase = jnp.where(is_xx, jnp.ones_like(sign),
+                      jnp.where(is_yy, -sign, sign))
+    pp = phase * jnp.take(psi, idx ^ flip, axis=-1)
+    half = theta * 0.5
+    c = jnp.cos(half).astype(dtype)
+    s = jnp.sin(half).astype(dtype)
+    return c * psi + jnp.array(-1j, dtype) * s * pp
 
 
 def _apply_controlled_1q(psi, u, target, control):
@@ -83,7 +114,7 @@ def _apply_controlled_1q(psi, u, target, control):
     return jnp.where(active == 1, diag * psi + off * pp, psi)
 
 
-def apply_tape(psi, kind, tq, cq, angle_slot, angles):
+def apply_tape(psi, kind, tq, cq, angle_slot, angles, enable_2q: bool = False):
     """Apply a padded gate tape to a statevector.
 
     Args:
@@ -91,17 +122,26 @@ def apply_tape(psi, kind, tq, cq, angle_slot, angles):
       kind, tq, cq, angle_slot: (G,) int32 tape arrays (see GateTape).
       angles: (R,) flat angle vector; rotation gate g reads
         ``angles[angle_slot[g]]``.
+      enable_2q: compile the RXX/RYY/RZZ path (SU(4) action set).  Static:
+        the default scan body stays single-primitive for the CNOT+rotation
+        gate set.
 
     Returns the evolved statevector(s), same shape/dtype as ``psi``.
     """
     dtype = psi.dtype
     angles = angles.astype(jnp.float32 if dtype == jnp.complex64 else jnp.float64)
 
+    from tensorrl_qas_tpu.circuits.tape import GateKind
+
     def body(p, g):
         k, t, c, s = g
         theta = jnp.where(s >= 0, angles[jnp.maximum(s, 0)], 0.0)
         u = _gate_matrix(k, theta, dtype)
-        return _apply_controlled_1q(p, u, t, c), None
+        out = _apply_controlled_1q(p, u, t, c)
+        if enable_2q:
+            out2 = _apply_two_pauli_rot(p, k, theta, t, jnp.maximum(c, 0))
+            out = jnp.where(k >= int(GateKind.RXX), out2, out)
+        return out, None
 
     psi, _ = lax.scan(body, psi, (kind, tq, cq, angle_slot))
     return psi

@@ -73,3 +73,48 @@ def test_pallas_gradients_flow():
     g1 = jax.grad(e_pallas)(x)
     g2 = jax.grad(e_xla)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_pallas_fused_step_matches_xla_path():
+    """The optimizer's pallas fused step must agree with the XLA fused step
+    (same seeds => same starts => same trajectory)."""
+    from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+    from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+    from tensorrl_qas_tpu.sim.expectation import PauliSum
+
+    n = 4
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    tape_old = random_tape(n, 10, seed=0)
+    # new tape = old + one rotation appended
+    tape_new = random_tape(n, 10, seed=0)
+    tape_new.capacity = 10
+    arrs_old = tuple(np.asarray(a) for a in tape_old.arrays())
+    arrs_new = tuple(np.asarray(a) for a in tape_new.arrays())
+    x0 = tape_old.x0().astype(np.float32)
+    map_idx = np.arange(len(x0), dtype=np.int32)
+
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    opt_x = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                           n_starts=3, dtype=jnp.complex64)
+    opt_p = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                           n_starts=3, dtype=jnp.complex64, use_pallas=True)
+    opt_p.pallas_interpret = True
+
+    jarrs_old = tuple(map(jnp.asarray, arrs_old))
+    jarrs_new = tuple(map(jnp.asarray, arrs_new))
+    x1, e1, _ = opt_x.fused_step(psi0_ri, jarrs_old, x0, tape_old.n_rots,
+                                 jarrs_new, map_idx, key)
+    x2, e2, _ = opt_p.fused_step(psi0_ri, jarrs_old, x0, tape_old.n_rots,
+                                 jarrs_new, map_idx, key)
+    # same PRNG stream feeds different-shaped normal draws, so trajectories
+    # are not bitwise identical; both must land at comparable minima
+    assert e2 == pytest.approx(e1, abs=0.15)
+    # and the pallas energy must equal the XLA energy AT the pallas solution
+    e_check = opt_x.energy(psi0_ri, jarrs_new,
+                           np.where(map_idx >= 0, x2[map_idx], 0.0))
+    assert e2 == pytest.approx(e_check, abs=1e-4)
