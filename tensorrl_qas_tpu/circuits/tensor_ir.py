@@ -87,19 +87,42 @@ class StateTensor:
     # -- conversion ----------------------------------------------------------
 
     def to_tape(self, capacity: int, rot_capacity: int) -> GateTape:
-        """Lower to a gate tape in reference evaluation order."""
+        """Lower to a gate tape in reference evaluation order.
+
+        Fully vectorized (this runs once per env step per replica, so the
+        per-layer python loop version was the host bottleneck of the
+        vectorized trainer): one nonzero scan for CNOTs and one for
+        rotations, merged by (layer, cnots-first) with a stable sort —
+        which reproduces the reference's per-layer CNOTs-then-rotations
+        order (``environments/VQAs/VQE_qulacs.py:12-44``).
+        """
         n = self.n
+        ls_c, targs, ctrls = np.nonzero(self.data[:, :n] == 1)
+        ls_r, axes, qubits = np.nonzero(self.data[:, n:n + 3] == 1)
+        n_cx, n_rot = len(ls_c), len(ls_r)
+        n_gates = n_cx + n_rot
+        if n_gates > capacity or n_rot > rot_capacity:
+            raise ValueError("tape capacity exceeded")
+
         tape = GateTape(n, capacity, rot_capacity)
-        rot_kinds = (GateKind.RX, GateKind.RY, GateKind.RZ)
-        for l in range(self.num_layers):
-            layer = self.data[l]
-            targs, ctrls = np.nonzero(layer[:n] == 1)
-            for t, c in zip(targs, ctrls):
-                tape.add_cx(int(c), int(t))
-            axes, qubits = np.nonzero(layer[n:n + 3] == 1)
-            for ax, q in zip(axes, qubits):
-                tape.add(rot_kinds[ax], target=int(q),
-                         angle=float(layer[n + 3 + ax, q]))
+        if n_gates:
+            keys = np.concatenate([2 * ls_c, 2 * ls_r + 1])
+            kinds = np.concatenate([
+                np.full(n_cx, int(GateKind.CX), np.int32),
+                (int(GateKind.RX) + axes).astype(np.int32)])
+            tqs = np.concatenate([targs, qubits]).astype(np.int32)
+            cqs = np.concatenate([ctrls,
+                                  np.full(n_rot, -1)]).astype(np.int32)
+            slots = np.concatenate([np.full(n_cx, -1),
+                                    np.arange(n_rot)]).astype(np.int32)
+            order = np.argsort(keys, kind="stable")
+            tape.kind[:n_gates] = kinds[order]
+            tape.tq[:n_gates] = tqs[order]
+            tape.cq[:n_gates] = cqs[order]
+            tape.angle_slot[:n_gates] = slots[order]
+            tape.angles[:n_rot] = self.data[ls_r, n + 3 + axes, qubits]
+            tape.n_gates = n_gates
+            tape.n_rots = n_rot
         return tape
 
     def gate_counts(self):

@@ -1,0 +1,275 @@
+"""Pallas mega-kernel: the full per-step angle optimization in ONE launch.
+
+The fused env step (optimize all angles of the pre-action circuit, remap,
+evaluate the post-action energy) is the entire hot path of training.  The
+composed version (ops/pallas_apply.py kernels inside an XLA ``lax.scan``)
+still pays ~4-6 kernel launches per Adam iteration; on a latency-bound
+transport that is the whole cost.  This kernel runs *everything* on-chip:
+
+    for iter in range(iters):                 # Adam loop
+        psi   = apply_tape(old_tape, x)       # gate loop, (S, D) in VMEM
+        Hpsi  = psi @ H^T                     # dense H matvec on the MXU
+        E     = Re[psi^H Hpsi]                # (S,)
+        lam   = 2 conj(Hpsi)                  # energy cotangent
+        dx    = adjoint_backward(...)         # reverse gate loop
+        x     = adam(x, dx)
+    x_opt = best start; x_new = remap(x_opt); e_new = E(new_tape, x_new)
+
+Grid over E env replicas (each with its own tapes via scalar prefetch);
+S optimizer starts ride the sublane dimension.  At n <= 10 qubits the
+dense Hamiltonian (<= 8 MB f32 planes) fits VMEM and one MXU matmul beats
+the K-term Pauli gather sum.  One launch per env *step* — the launch
+overhead is amortized over iters x gates x 3 passes of compute.
+
+Building blocks (_gate_coeffs / _apply_u / one-hot angle selection) are
+shared with ops/pallas_apply.py; the adjoint recipe and the JAX cotangent
+conventions are verified against jax.vjp in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorrl_qas_tpu.ops.pallas_apply import (
+    _RX,
+    _RY,
+    _RZ,
+    _apply_u,
+    _gate_coeffs,
+    _masks,
+)
+
+
+def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8):
+    def kernel(okind, otq, ocq, oslot, nkind, ntq, ncq, nslot, mapidx,
+               p0re_ref, p0im_ref, hre_t_ref, him_t_ref, starts_ref,
+               active_ref,
+               xopt_ref, enew_ref,
+               x_s, m_s, v_s, bx_s, be_s, pr_s, pi_s, lr_s, li_s):
+        e = pl.program_id(0)
+        s_batch, d = pr_s.shape
+        r = x_s.shape[-1]
+        col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
+        row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        n_gates = okind.shape[-1]
+        active = active_ref[0]                      # (1, R) broadcast row
+
+        def theta_of(xmat, s):
+            onehot = (slot_iota == s).astype(jnp.float32)
+            th = jnp.dot(xmat, onehot, preferred_element_type=jnp.float32)
+            return jnp.where(s >= 0, th, jnp.float32(0.0))
+
+        def forward(tape, xmat, re0, im0):
+            kind_r, tq_r, cq_r, slot_r = tape
+
+            def gate(g, carry):
+                re, im = carry
+                k = kind_r[e, g]
+                t = tq_r[e, g]
+                c = cq_r[e, g]
+                s = slot_r[e, g]
+                coeffs = _gate_coeffs(k, theta_of(xmat, s))
+                p, b, act = _masks(t, c, col, xor_ij)
+                nre, nim, _, _ = _apply_u(re, im, coeffs, p, b, act)
+                return (nre, nim)
+
+            return lax.fori_loop(0, n_gates, gate, (re0, im0))
+
+        def h_apply(re, im):
+            hre = jnp.dot(re, hre_t_ref[:],
+                          preferred_element_type=jnp.float32) \
+                - jnp.dot(im, him_t_ref[:],
+                          preferred_element_type=jnp.float32)
+            him = jnp.dot(re, him_t_ref[:],
+                          preferred_element_type=jnp.float32) \
+                + jnp.dot(im, hre_t_ref[:],
+                          preferred_element_type=jnp.float32)
+            return hre, him
+
+        def energy_rows(re, im, hre, him):
+            return jnp.sum(re * hre + im * him, axis=-1, keepdims=True)
+
+        def backward(tape, xmat, re, im, lre, lim):
+            """Returns dx (S, R): adjoint pass from the output state."""
+            kind_r, tq_r, cq_r, slot_r = tape
+
+            def gate(i, carry):
+                re, im, lre, lim, dx = carry
+                g = n_gates - 1 - i
+                k = kind_r[e, g]
+                t = tq_r[e, g]
+                c = cq_r[e, g]
+                s = slot_r[e, g]
+                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
+                    _gate_coeffs(k, theta_of(xmat, s))
+                p, b, act = _masks(t, c, col, xor_ij)
+
+                # d<theta> = 1/2 Im[(P psi)^T lambda]
+                pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
+                pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+                sgn = 1.0 - 2.0 * b
+                is_rx = (k == _RX).astype(jnp.float32)
+                is_ry = (k == _RY).astype(jnp.float32)
+                is_rz = (k == _RZ).astype(jnp.float32)
+                pr = is_rx * pre + is_ry * (sgn * pim) + is_rz * (sgn * re)
+                pi = is_rx * pim + is_ry * (-sgn * pre) + is_rz * (sgn * im)
+                contrib = 0.5 * jnp.sum(pr * lim + pi * lre, axis=-1,
+                                        keepdims=True)
+                has_angle = (s >= 0).astype(jnp.float32)
+                dx = dx + has_angle * contrib * (
+                    slot_row == s).astype(jnp.float32)
+
+                # undo state (U^H), propagate cotangent (U^T)
+                ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
+                re, im, _, _ = _apply_u(re, im, ch, p, b, act)
+                ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
+                lre, lim, _, _ = _apply_u(lre, lim, ct, p, b, act)
+                return (re, im, lre, lim, dx)
+
+            dx0 = jnp.zeros((s_batch, r), jnp.float32)
+            out = lax.fori_loop(0, n_gates, gate, (re, im, lre, lim, dx0))
+            return out[4]
+
+        old_tape = (okind, otq, ocq, oslot)
+        new_tape = (nkind, ntq, ncq, nslot)
+        re0 = jnp.broadcast_to(p0re_ref[:], (s_batch, d))
+        im0 = jnp.broadcast_to(p0im_ref[:], (s_batch, d))
+
+        x_s[:] = starts_ref[0]
+        m_s[:] = jnp.zeros_like(m_s)
+        v_s[:] = jnp.zeros_like(v_s)
+        bx_s[:] = starts_ref[0]
+        be_s[:] = jnp.full_like(be_s, jnp.inf)
+
+        def adam_iter(it, _):
+            x = x_s[:]
+            re, im = forward(old_tape, x, re0, im0)
+            hre, him = h_apply(re, im)
+            ev = energy_rows(re, im, hre, him)          # (S, 1)
+            better = ev < be_s[:]
+            bx_s[:] = jnp.where(better, x, bx_s[:])
+            be_s[:] = jnp.where(better, ev, be_s[:])
+            # energy cotangent: lambda = 2 conj(H psi)
+            dx = backward(old_tape, x, re, im, 2.0 * hre, -2.0 * him)
+            dx = dx * active
+            m = b1 * m_s[:] + (1 - b1) * dx
+            v = b2 * v_s[:] + (1 - b2) * dx * dx
+            t = it.astype(jnp.float32) + 1.0
+            # b^t via exp(t log b): Mosaic cannot lower powf
+            b1t = jnp.exp(t * float(np.log(b1)))
+            b2t = jnp.exp(t * float(np.log(b2)))
+            mhat = m / (1 - b1t)
+            vhat = v / (1 - b2t)
+            x_s[:] = x - lr * mhat / (jnp.sqrt(vhat) + eps)
+            m_s[:] = m
+            v_s[:] = v
+            return 0
+
+        lax.fori_loop(0, iters, adam_iter, 0)
+
+        # final candidate may beat the tracked best
+        xf = x_s[:]
+        re, im = forward(old_tape, xf, re0, im0)
+        hre, him = h_apply(re, im)
+        ev = energy_rows(re, im, hre, him)
+        better = ev < be_s[:]
+        bx_s[:] = jnp.where(better, xf, bx_s[:])
+        be_s[:] = jnp.where(better, ev, be_s[:])
+
+        # best start -> (1, R) via one-hot row selection
+        best = jnp.argmin(be_s[:, 0])
+        srow = lax.broadcasted_iota(jnp.int32, (1, s_batch), 1)
+        sel = (srow == best).astype(jnp.float32)         # (1, S)
+        x_opt = jnp.dot(sel, bx_s[:], preferred_element_type=jnp.float32)
+
+        # remap onto the new tape: x_new[j] = x_opt[map[j]] (or 0)
+        def remap(j, acc):
+            mj = mapidx[e, j]              # scalar SMEM read
+            val = jnp.dot(x_opt, (slot_iota == mj).astype(jnp.float32),
+                          preferred_element_type=jnp.float32)  # (1, 1)
+            keep = (mj >= 0).astype(jnp.float32)
+            return acc + keep * val * (slot_row == j).astype(jnp.float32)
+
+        x_new = lax.fori_loop(0, r, remap, jnp.zeros((1, r), jnp.float32))
+
+        re1 = jnp.broadcast_to(p0re_ref[:], (1, d))
+        im1 = jnp.broadcast_to(p0im_ref[:], (1, d))
+
+        def gate_new(g, carry):
+            re, im = carry
+            k = nkind[e, g]
+            t = ntq[e, g]
+            c = ncq[e, g]
+            s = nslot[e, g]
+            coeffs = _gate_coeffs(k, theta_of(x_new, s))
+            p, b, act = _masks(t, c, col, xor_ij)
+            nre, nim, _, _ = _apply_u(re, im, coeffs, p, b, act)
+            return (nre, nim)
+
+        reN, imN = lax.fori_loop(0, n_gates, gate_new, (re1, im1))
+        hreN, himN = h_apply(reN, imN)
+        enew_ref[0] = jnp.sum(reN * hreN + imN * himN).reshape(1, 1)
+        xopt_ref[0] = x_opt
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lr", "interpret"))
+def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
+                           hre_t, him_t, starts, active, *, iters: int,
+                           lr: float, interpret: bool = False):
+    """One launch per env step.
+
+    old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32; p0re/p0im
+    (1, D) f32; hre_t/him_t (D, D) f32 (H^T planes); starts (E, S, R) f32;
+    active (E, 1, R) f32.  Returns (x_opt (E, R), e_new (E,)).
+    """
+    n_env, s_batch, r = starts.shape
+    d = p0re.shape[-1]
+    kernel = _make_kernel(iters, lr)
+
+    def spec(shape, mapper):
+        return pl.BlockSpec(shape, mapper, memory_space=pltpu.VMEM)
+
+    per_e3 = lambda shape: spec(shape, lambda e, *_: (e, 0, 0))  # noqa: E731
+    shared2 = lambda shape: spec(shape, lambda e, *_: (0, 0))    # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(n_env,),
+        in_specs=[shared2((1, d)), shared2((1, d)),
+                  shared2((d, d)), shared2((d, d)),
+                  per_e3((1, s_batch, r)), per_e3((1, 1, r))],
+        # outputs are 3D so the trailing two block dims equal the array
+        # dims (TPU tiling constraint)
+        out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),
+                   spec((1, 1, 1), lambda e, *_: (e, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((s_batch, r), jnp.float32),   # x
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # m
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # v
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # best x
+                        pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
+                        pltpu.VMEM((s_batch, d), jnp.float32),   # psi re
+                        pltpu.VMEM((s_batch, d), jnp.float32),   # psi im
+                        pltpu.VMEM((s_batch, d), jnp.float32),   # lam re
+                        pltpu.VMEM((s_batch, d), jnp.float32)],  # lam im
+    )
+    x_opt, e_new = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_env, 1, r), jnp.float32),
+                   jax.ShapeDtypeStruct((n_env, 1, 1), jnp.float32)),
+        interpret=interpret,
+    )(*old_arrs, *new_arrs, map_idx, p0re, p0im, hre_t, him_t, starts,
+      active)
+    return x_opt[:, 0, :], e_new[:, 0, 0]

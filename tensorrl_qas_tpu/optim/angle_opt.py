@@ -87,7 +87,22 @@ class AngleOptimizer:
         self._host_key = jax.random.PRNGKey(0xC0B)
         self._csim = None
         self._csim_tried = False
-        self._pauli_obj = None  # set by callers that want the csim backend
+        self._pauli_obj = None  # set by callers (csim + dense-H mega path)
+        self._hre_t = None
+        self._him_t = None
+
+    def _mega_ready(self) -> bool:
+        """Prepare the dense H^T planes for the single-launch kernel."""
+        if self._hre_t is not None:
+            return True
+        if self._pauli_obj is None:
+            return False
+        if (1 << self._pauli_obj.n_qubits) > 1024:
+            return False
+        ht = self._pauli_obj.to_dense().T
+        self._hre_t = jnp.asarray(np.real(ht), jnp.float32)
+        self._him_t = jnp.asarray(np.imag(ht), jnp.float32)
+        return True
 
     def _csim_engine(self):
         """Native host engine for the COBYLA inner loop (no device round
@@ -207,12 +222,12 @@ class AngleOptimizer:
         x0 = jnp.asarray(np.asarray(x0, dtype=rdtype))
         active = (jnp.arange(x0.shape[0]) < n_active_old).astype(rdtype)
         if self.use_pallas:
-            x_opt, e_new = self._fused_pallas_jit(
-                psi0, tuple(a[None] for a in old_tape_arrays), x0[None],
-                active[None], tuple(a[None] for a in new_tape_arrays),
-                jnp.asarray(map_idx)[None], key)
-            return (np.asarray(x_opt[0]), float(e_new[0]),
-                    self.iters * self.n_starts)
+            x_opt, e_new, nfev = self.fused_step_batch(
+                psi0, tuple(np.asarray(a)[None] for a in old_tape_arrays),
+                np.asarray(x0)[None], np.asarray([n_active_old]),
+                tuple(np.asarray(a)[None] for a in new_tape_arrays),
+                np.asarray(map_idx)[None], key[None])
+            return x_opt[0], float(e_new[0]), nfev
         x_opt, e_new = self._fused_jit(psi0, old_tape_arrays, x0, active,
                                        new_tape_arrays,
                                        jnp.asarray(map_idx), key)
@@ -304,7 +319,26 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        if self.use_pallas:
+        if self.use_pallas and self._mega_ready():
+            # single-launch path: the whole multi-start Adam runs inside
+            # one Pallas kernel (ops/pallas_opt.py)
+            kn = keys[0] if keys.ndim > 1 else keys
+            noise = jax.random.normal(
+                kn, x0_b.shape[:1] + (self.n_starts, x0_b.shape[1]),
+                dtype=x0_b.dtype) * self.restart_scale
+            noise = noise.at[:, 0, :].set(0.0)
+            starts = (x0_b[:, None, :] + noise) * active[:, None, :]
+            from tensorrl_qas_tpu.ops.pallas_opt import fused_adam_step_pallas
+
+            re0, im0 = psi0
+            x_opt, e_new = fused_adam_step_pallas(
+                tuple(map(jnp.asarray, old_arrs_b)),
+                tuple(map(jnp.asarray, new_arrs_b)),
+                jnp.asarray(map_idx_b), jnp.asarray(re0)[None],
+                jnp.asarray(im0)[None], self._hre_t, self._him_t, starts,
+                active[:, None, :], iters=self.iters, lr=self.lr,
+                interpret=self.pallas_interpret)
+        elif self.use_pallas:
             x_opt, e_new = self._fused_pallas_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
                 tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),

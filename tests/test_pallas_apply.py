@@ -118,3 +118,40 @@ def test_pallas_fused_step_matches_xla_path():
     e_check = opt_x.energy(psi0_ri, jarrs_new,
                            np.where(map_idx >= 0, x2[map_idx], 0.0))
     assert e2 == pytest.approx(e_check, abs=1e-4)
+
+
+def test_mega_kernel_matches_xla_path():
+    """The single-launch fused Adam kernel (ops/pallas_opt.py) must land at
+    the same optima as the XLA fused path and report consistent energies."""
+    from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+    from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+    from tensorrl_qas_tpu.sim.expectation import PauliSum
+
+    n = 4
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    tape = random_tape(n, 12, seed=3)
+    arrs = tuple(np.asarray(a) for a in tape.arrays())
+    x0 = tape.x0().astype(np.float32)
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    opt_x = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=30,
+                           n_starts=4, dtype=jnp.complex64)
+    opt_m = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=30,
+                           n_starts=4, dtype=jnp.complex64, use_pallas=True)
+    opt_m.pallas_interpret = True
+    opt_m._pauli_obj = ps
+
+    jarrs = tuple(map(jnp.asarray, arrs))
+    x1, e1, _ = opt_x.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                                 map_idx, key)
+    x2, e2, _ = opt_m.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                                 map_idx, key)
+    assert e2 == pytest.approx(e1, abs=0.2)
+    # mega energy must equal the XLA energy AT the mega solution
+    e_check = opt_x.energy(psi0_ri, jarrs, x2)
+    assert e2 == pytest.approx(e_check, abs=1e-3)
