@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop_on_success", type=int, default=0,
                    help="stop after N successful episodes (0 = run all)")
     p.add_argument("--sim_dtype", type=str, default="auto")
+    p.add_argument("--vector", type=int, default=0,
+                   help="run the vectorized trainer with N env replicas "
+                        "(0 = reference-style sequential episodes)")
+    p.add_argument("--total_steps", type=int, default=0,
+                   help="env-step budget for the vectorized trainer "
+                        "(default: episodes x num_layers)")
     return p
 
 
@@ -95,6 +101,23 @@ def main(argv=None) -> int:
                                   noise_mode=noise_mode, seed=args.seed,
                                   optim_alg=args.optim)
     env_cfg.sim_dtype = args.sim_dtype
+
+    if args.vector:
+        from tensorrl_qas_tpu.envs.vector_env import VectorCircuitEnv
+        from tensorrl_qas_tpu.train.vector_driver import train_vectorized
+
+        venv = VectorCircuitEnv(env_cfg, n_envs=args.vector)
+        agent = make_agent(conf, venv.action_size, venv.state_size,
+                           seed=args.seed)
+        output_path = f"{args.results_path}{args.experiment_name}{args.config}"
+        pathlib.Path(output_path).mkdir(parents=True, exist_ok=True)
+        episodes = args.episodes or conf["general"]["episodes"]
+        total = args.total_steps or episodes * env_cfg.num_layers
+        summary = train_vectorized(venv, agent, conf, args.seed, output_path,
+                                   total_env_steps=total)
+        print(json.dumps(summary), flush=True)
+        return 0
+
     env = CircuitEnv(env_cfg)
     agent = make_agent(conf, env.action_size, env.state_size, seed=args.seed)
 
