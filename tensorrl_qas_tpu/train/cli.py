@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--total_steps", type=int, default=0,
                    help="env-step budget for the vectorized trainer "
                         "(default: episodes x num_layers)")
+    p.add_argument("--replays_per_iter", type=int, default=1,
+                   help="replay train steps per vectorized iteration (the "
+                        "reference's sequential loop replays once per env "
+                        "step; with N replicas, N keeps that data ratio)")
     return p
 
 
@@ -114,7 +118,8 @@ def main(argv=None) -> int:
         episodes = args.episodes or conf["general"]["episodes"]
         total = args.total_steps or episodes * env_cfg.num_layers
         summary = train_vectorized(venv, agent, conf, args.seed, output_path,
-                                   total_env_steps=total)
+                                   total_env_steps=total,
+                                   replays_per_iter=args.replays_per_iter)
         print(json.dumps(summary), flush=True)
         return 0
 
