@@ -86,7 +86,14 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
         saver.save_jsonl_event({"iter": it, "steps": steps,
                                 "episodes": episodes_done,
                                 "best_error": float(best_error)})
+        if it % 500 == 0:
+            from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
 
+            save_checkpoint(f"{output_path}/vec_{seed}", agent)
+
+    from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(f"{output_path}/vec_{seed}", agent)
     dt = time.time() - t0
     return {"episodes": episodes_done, "successes": successes,
             "best_error": float(best_error), "steps": steps,
