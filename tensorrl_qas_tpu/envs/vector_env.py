@@ -15,6 +15,8 @@ transitions for the RL agent.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -31,8 +33,6 @@ class VectorCircuitEnv:
         self.n_envs = n_envs
         self.envs = []
         for i in range(n_envs):
-            import dataclasses
-
             cfg_i = dataclasses.replace(cfg, seed=cfg.seed + i)
             self.envs.append(CircuitEnv(cfg_i))
         # all replicas share one compiled optimizer (same shapes/problem)
