@@ -1,0 +1,87 @@
+"""Sequential training driver: episode loop, metrics schema, eval rollout,
+checkpoint cadence (reference TensorRL_fixed_noiseless.py semantics)."""
+
+import numpy as np
+import pytest
+
+from tensorrl_qas_tpu.agents.dqn import make_agent
+from tensorrl_qas_tpu.envs.circuit_env import CircuitEnv, EnvConfig
+from tensorrl_qas_tpu.problems.hamiltonians import resolve_data_file
+from tensorrl_qas_tpu.train.driver import agent_test, train
+
+
+def _have_data():
+    try:
+        resolve_data_file("mol_data/heisenberg_5q.npz")
+        return True
+    except FileNotFoundError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _have_data(), reason="no data")
+
+
+def small_conf():
+    return {
+        "general": {"episodes": 3},
+        "env": {"num_qubits": 5, "num_layers": 40, "rand_halt": 0,
+                "tn_init": 1, "tn_bond": 2, "zero_param_init": 0,
+                "n_shots": 0, "accept_err": 1e-3, "thresholds": [1e-3],
+                "switch_episodes": [100000],
+                "curriculum_type": "VanillaCurriculum",
+                "fn_type": "incremental_with_fixed_ends"},
+        "problem": {"ham_type": "heisenberg", "geometry": "0",
+                    "mapping": "jordan_wigner"},
+        "agent": {"batch_size": 16, "memory_size": 256,
+                  "neurons": [32, 32], "dropout": 0.0,
+                  "learning_rate": 1e-3, "angles": 0, "en_state": 1,
+                  "agent_type": "DeepQNstep", "agent_class": "DQN_Nstep",
+                  "n_step": 3, "init_net": 0, "priotitized_replay": 0,
+                  "update_target_net": 10, "final_gamma": 0.05,
+                  "epsilon_decay": 0.99, "epsilon_min": 0.05,
+                  "epsilon_restart": 1.0},
+        "non_local_opt": {"global_iters": 10, "method": "scipy_each_step",
+                          "optim_alg": "COBYLA"},
+    }
+
+
+def make_env(conf, seed=0):
+    cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=seed)
+    cfg.sim_dtype = "complex128"
+    cfg.n_starts = 2
+    return CircuitEnv(cfg)
+
+
+def test_train_loop_and_saver_schema(tmp_path):
+    conf = small_conf()
+    env = make_env(conf)
+    agent = make_agent(conf, env.action_size, env.state_size, seed=0)
+    saver = train(env, agent, conf, seed=0, output_path=str(tmp_path),
+                  episodes=3, checkpoint_every=2, verbose=False)
+    blob = np.load(tmp_path / "summary_0.npy", allow_pickle=True).item()
+    assert set(blob["train"].keys()) == {0, 1, 2}
+    rec = blob["train"][0]
+    for key in ("loss", "actions", "errors", "errors_noiseless", "nfev",
+                "opt_ang", "time", "save_circ", "reward", "done_threshold"):
+        assert key in rec
+    assert len(rec["actions"]) == len(rec["errors"]) > 0
+    # checkpoints written
+    assert (tmp_path / "thresh_0.001_0_agent.msgpack").exists()
+    assert (tmp_path / "thresh_0.001_0_replay.npz").exists()
+    # events stream
+    assert (tmp_path / "events_0.jsonl").exists()
+
+
+def test_agent_test_greedy_rollout(tmp_path):
+    conf = small_conf()
+    env = make_env(conf, seed=1)
+    agent = make_agent(conf, env.action_size, env.state_size, seed=1)
+    from tensorrl_qas_tpu.train.saver import Saver
+
+    saver = Saver(str(tmp_path), 1)
+    eps_before = agent.epsilon
+    reward, steps, error = agent_test(0, env, agent, conf, saver)
+    assert agent.epsilon == eps_before           # restored after greedy eval
+    assert steps <= env.num_layers
+    assert np.isfinite(error)
+    assert len(saver.stats["test"][0]["actions"]) >= 1
