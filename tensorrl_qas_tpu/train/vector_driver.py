@@ -85,6 +85,7 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                   f"{sps:.1f} steps/s", flush=True)
         saver.save_jsonl_event({"iter": it, "steps": steps,
                                 "episodes": episodes_done,
+                                "successes": successes,
                                 "best_error": float(best_error)})
         if it % 500 == 0:
             from tensorrl_qas_tpu.train.checkpoint import save_checkpoint

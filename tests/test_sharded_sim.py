@@ -98,3 +98,35 @@ def test_sharded_heisenberg_warmstart_energy():
                                  *prob.pauli.device_arrays(jnp.complex128)))
     assert e == pytest.approx(e1, abs=1e-9)
     assert -8.6 < e < -8.4
+
+
+def test_sharded_batched_dp_amp():
+    """(dp x amp) jointly-sharded batch path vs single-chip results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrl_qas_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("need 8 devices")
+    mesh = make_mesh(n_amp=2, n_dp=4)
+    n = 5
+    ps = PauliSum.from_strings(["XZIII", "IIYXI", "ZZZZZ"], [0.3, -1.1, 0.7],
+                               n)
+    sim = ShardedSimulator(mesh, n, ps, dtype=jnp.complex128)
+    tape = random_tape(n, 25, seed=5)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    batch = 8
+    rng = np.random.default_rng(0)
+    angles_b = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, size=(batch, tape.rot_capacity)))
+    psi_b = sim.zero_state_batched(batch)
+    out = sim.apply_tape_batched(psi_b, *arrs, angles_b)
+    e_b = sim.expectation_batched(out)
+
+    for i in range(batch):
+        ref = apply_tape(zero_state(n, jnp.complex128), *arrs, angles_b[i])
+        e_ref = float(pauli_expectation(ref,
+                                        *ps.device_arrays(jnp.complex128)))
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
+                                   atol=1e-12)
+        assert float(e_b[i]) == pytest.approx(e_ref, abs=1e-10)
