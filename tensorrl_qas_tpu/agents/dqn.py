@@ -21,8 +21,6 @@ targets, loss, Adam update all fuse on device.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

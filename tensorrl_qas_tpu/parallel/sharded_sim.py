@@ -29,15 +29,12 @@ This is the scale-out path past the reference's explicit 20-qubit ceiling
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tensorrl_qas_tpu.circuits.tape import GateKind
 from tensorrl_qas_tpu.sim.apply import _gate_matrix
 from tensorrl_qas_tpu.sim.expectation import PauliSum
 from tensorrl_qas_tpu.utils.bits import parity

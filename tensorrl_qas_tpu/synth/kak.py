@@ -24,8 +24,6 @@ All matrices here are little-endian 4x4 on (q1 q0): basis index = 2*b1+b0.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 
 _I = np.eye(2, dtype=complex)

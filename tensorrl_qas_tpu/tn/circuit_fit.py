@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from tensorrl_qas_tpu.tn.mps import MPS

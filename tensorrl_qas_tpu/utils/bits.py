@@ -1,8 +1,5 @@
 """Bit-twiddling helpers for statevector index arithmetic (jit-safe)."""
 
-import jax.numpy as jnp
-
-
 def parity(v):
     """Popcount parity of each element of an integer array (<= 32 bits)."""
     v = v ^ (v >> 16)
