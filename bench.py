@@ -44,6 +44,19 @@ def main() -> int:
         conf["agent"]["batch_size"] = int(FILL_TARGET)
     env_cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
     venv = VectorCircuitEnv(env_cfg, n_envs=N_ENVS)
+    # safety: if the Pallas mega-kernel fails to compile on this platform,
+    # fall back to the XLA path rather than failing the bench
+    try:
+        venv.reset_all()
+        probe_action = list(venv.envs[0].action_dict.values())[0]
+        venv.step_all([probe_action] * venv.n_envs)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# pallas path failed ({type(exc).__name__}); "
+              "falling back to XLA", file=sys.stderr)
+        import dataclasses
+
+        env_cfg = dataclasses.replace(env_cfg, use_pallas="off")
+        venv = VectorCircuitEnv(env_cfg, n_envs=N_ENVS)
     agent = make_agent(conf, venv.action_size, venv.state_size, seed=0)
     agent.epsilon = 0.5  # exercise both exploration and greedy act paths
     batch_size = conf["agent"]["batch_size"]
