@@ -128,3 +128,34 @@ def test_angle_roundtrip_tape_vs_tensor_order():
     np.testing.assert_allclose(tape.x0()[:3], [0.22, 0.11, 0.33])
     st.set_rot_angles(np.array([1.0, 2.0, 3.0]))
     np.testing.assert_allclose(st.to_tape(8, 8).x0()[:3], [1.0, 2.0, 3.0])
+
+
+def test_hexagon_restricted_env():
+    """Heavy-hex restricted mode: CNOT-only action space (reference filter
+    quirk) on the 8q benchmark problem with shot noise."""
+    from tensorrl_qas_tpu.circuits.actions import hexagon_actions_reverted
+
+    geom = ("H -0.021 -0.002 0.000; O 0.835 0.452 0.000; "
+            "H 1.477 -0.273 0.000")
+    try:
+        resolve_data_file("mol_data/H2O_8q_geom_H_-0.021_-0.002_0.000;"
+                          "_O_0.835_0.452_0.000;_H_1.477_-0.273_0.000"
+                          "_jordan_wigner.npz")
+    except FileNotFoundError:
+        pytest.skip("H2O data not available")
+    cfg = EnvConfig(
+        num_qubits=8, num_layers=47, ham_type="H2O", geometry=geom,
+        tn_placement="fixed", tn_init=1, tn_bond=2, accept_err=1.6e-3,
+        curriculum_conf={"thresholds": [1.6e-3], "switch_episodes": [100000],
+                         "accept_err": 1.6e-3},
+        optim_alg="adam", global_iters=10, n_starts=2,
+        noise_mode="shot", n_shots=1024, topology="hexagon",
+        sim_dtype="complex128", use_pallas="off", seed=2)
+    env = CircuitEnv(cfg)
+    # reference: action_size = len(reverted hexagon dict)
+    assert env.action_size == len(hexagon_actions_reverted(8))
+    env.reset()
+    ill = env.illegal_action_new()
+    legal = [a for a in range(env.action_size) if a not in ill]
+    _, rwd, done = env.step(env.action_dict[legal[0]])
+    assert np.isfinite(env.energy)
