@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-N_ENVS = int(os.environ.get("BENCH_N_ENVS", "32"))
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", "64"))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
