@@ -102,3 +102,41 @@ def test_act_batch_respects_masks():
         actions, explore = agent.act_batch(states, illegal)
         for i, ill in enumerate(illegal):
             assert actions[i] not in ill
+
+
+def test_vector_env_noise_mode():
+    """Vectorized stepping with depolarizing noise (XLA batched path; the
+    pallas kernel auto-disables for noisy evaluation)."""
+    venv = VectorCircuitEnv(make_cfg(noise_mode="depolarizing",
+                                     use_pallas="off"), n_envs=2)
+    venv.reset_all()
+    acts = all_to_all_actions(5)
+    obs, rewards, dones, infos = venv.step_all([acts[20], acts[0]])
+    assert all(np.isfinite(i["energy"]) for i in infos)
+    # noisy env reports the noisy value in both slots (reference quirk)
+    assert venv.envs[0].error == venv.envs[0].error_noiseless
+
+
+def test_device_replay_per_path():
+    """PER + device-resident replay: priority updates shift sampling."""
+    from tensorrl_qas_tpu.agents.dqn import DQN
+
+    conf = {"env": {"num_qubits": 3, "num_layers": 4},
+            "agent": {"batch_size": 8, "memory_size": 64,
+                      "neurons": [16], "dropout": 0.0,
+                      "learning_rate": 1e-3, "angles": 0, "en_state": 0,
+                      "priotitized_replay": 1, "update_target_net": 5,
+                      "final_gamma": 0.05, "epsilon_decay": 0.9,
+                      "epsilon_min": 0.05, "device_replay": 1}}
+    agent = DQN(conf, action_size=6, state_size=3 * 4 * 9, seed=0)
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        agent.remember(rng.normal(size=agent.state_size).astype(np.float32),
+                       int(rng.integers(6)), float(rng.normal()),
+                       rng.normal(size=agent.state_size).astype(np.float32),
+                       0.0)
+    loss = agent.replay(8)
+    assert isinstance(loss, float)
+    # priorities were updated from TD errors (no longer all equal)
+    pri = agent.memory.priorities[: agent.memory.size]
+    assert pri.std() > 0
