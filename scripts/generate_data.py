@@ -60,8 +60,16 @@ def main() -> int:
 
     if args.from_npz:
         raw = np.load(args.from_npz, allow_pickle=True)
-        paulis = [str(x) for x in raw["paulis"]]
-        weights = np.asarray(raw["weights"], dtype=np.float64)
+        if "paulis" in raw.files:
+            paulis = [str(x) for x in raw["paulis"]]
+            weights = np.asarray(np.real(raw["weights"]), dtype=np.float64)
+        else:
+            # dense-only schema (e.g. LIH_4q parity file)
+            from tensorrl_qas_tpu.problems.hamiltonians import pauli_decompose
+            from tensorrl_qas_tpu.utils.bits import bit_reversal_permutation
+            dense = np.asarray(raw["hamiltonian"]).astype(np.complex128)
+            perm = bit_reversal_permutation(args.qubits)
+            paulis, weights = pauli_decompose(dense[np.ix_(perm, perm)])
     elif args.ham == "heisenberg":
         paulis, weights = heisenberg_hamiltonian(args.qubits)
     elif args.ham.startswith("tfim"):

@@ -25,12 +25,15 @@ from tensorrl_qas_tpu.utils.bits import bit_reversal_permutation
 
 # Where to look for problem data (.npz) and warm-start circuits (.qasm).
 # First match wins; $TRLQAS_DATA_DIR takes priority so the same configs run
-# against generated data, a repo-local data/ dir, or a reference checkout.
+# against generated data or a repo-local data/ dir. A TensorRL-QAS checkout's
+# dmrg-to-qc/ directory can be added explicitly via $TRLQAS_REFERENCE_DATA —
+# nothing resolves outside the repo by default (the shipped data/ tree is
+# self-contained; scripts/vendor_mol_data.py re-emits upstream data files).
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 DATA_SEARCH_PATHS = [
     os.environ.get("TRLQAS_DATA_DIR", ""),
     str(_REPO_ROOT / "data"),
-    "/root/reference/dmrg-to-qc",
+    os.environ.get("TRLQAS_REFERENCE_DATA", ""),
 ]
 
 
@@ -123,6 +126,34 @@ def save_problem_npz(path: str, paulis, weights, energy_shift: float = 0.0,
     np.savez(path, **out)
 
 
+def pauli_decompose(dense_le: np.ndarray, tol: float = 1e-8):
+    """Exact Pauli-basis decomposition of a little-endian Hermitian matrix.
+
+    Returns (paulis, weights) with weight_P = Tr(P H)/2^n over the 4^n Pauli
+    strings, dropping |w|<=tol. Used for .npz files that ship only the dense
+    matrix (the reference's LIH_4q parity-mapped file has no 'paulis' key —
+    its env consumes the dense 'hamiltonian' directly,
+    ``environment_qulacs.py:106``; our simulator wants the Pauli-sum form).
+    Brute force over 4^n strings — guarded to small n where that is exact
+    and cheap.
+    """
+    dim = dense_le.shape[0]
+    n = int(np.log2(dim))
+    if n > 7:
+        raise ValueError(f"pauli_decompose is O(16^n); n={n} too large")
+    import itertools
+
+    paulis, weights = [], []
+    for chars in itertools.product("IXYZ", repeat=n):
+        s = "".join(chars)
+        p_dense = PauliSum.from_strings([s], [1.0], n_qubits=n).to_dense()
+        w = np.einsum("ij,ji->", p_dense, dense_le) / dim  # Tr(P H)/2^n
+        if abs(w) > tol:
+            paulis.append(s)
+            weights.append(float(np.real(w)))  # Hermitian H => real weights
+    return paulis, np.asarray(weights, dtype=np.float64)
+
+
 def resolve_data_file(relpath: str) -> str:
     """Locate a data file across the search paths."""
     for base in DATA_SEARCH_PATHS:
@@ -152,13 +183,21 @@ def load_problem(ham_type: str, n_qubits: int, geometry: str = "",
     """Load a problem from the .npz corpus (reference schema)."""
     path = resolve_data_file(problem_npz_name(ham_type, n_qubits, geometry, mapping))
     raw = np.load(path, allow_pickle=True)
-    paulis = [str(p) for p in raw["paulis"]]
-    weights = np.asarray(raw["weights"], dtype=np.float64)
-    ps = PauliSum.from_strings(paulis, weights, n_qubits=n_qubits)
     dense = None
     if keep_dense and "hamiltonian" in raw.files and n_qubits <= 12:
         perm = bit_reversal_permutation(n_qubits)
         dense = np.asarray(raw["hamiltonian"])[np.ix_(perm, perm)]
+    if "paulis" in raw.files:
+        paulis = [str(p) for p in raw["paulis"]]
+        weights = np.asarray(raw["weights"], dtype=np.float64)
+    else:
+        # dense-only schema (reference LIH_4q parity file): recover the
+        # Pauli-sum form exactly from the stored matrix.
+        if dense is None:
+            perm = bit_reversal_permutation(n_qubits)
+            dense = np.asarray(raw["hamiltonian"])[np.ix_(perm, perm)]
+        paulis, weights = pauli_decompose(dense.astype(np.complex128))
+    ps = PauliSum.from_strings(paulis, weights, n_qubits=n_qubits)
     # Use the STORED eigvals: the reference defines min_eig/max_eig from them
     # (``environment_qulacs.py:106-112``), and for some files they are partial
     # sparse-solver output — recomputing could silently change the reward

@@ -36,7 +36,8 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 CONFIG_SEARCH_PATHS = [
     os.environ.get("TRLQAS_CONFIG_DIR", ""),
     str(_REPO_ROOT / "configs"),
-    "/root/reference/configuration_files",
+    # a TensorRL-QAS checkout's configuration_files/ can be added explicitly:
+    os.environ.get("TRLQAS_REFERENCE_CONFIGS", ""),
 ]
 
 
