@@ -1,19 +1,25 @@
-"""Benchmark: training env-step throughput at 8q H2O (TensorRL-fixed).
+"""Benchmark: training env-step throughput at 8q H2O, 10q H2O, 12q LiH.
 
 Primary metric per BASELINE.md: env-steps/sec/chip on the 8-qubit H2O
 problem.  One env step = place gate + multi-start re-optimization of all
 circuit angles (Adam, global_iters x n_starts evaluations) + post-action
 energy.  The measured loop is the vectorized trainer: B env replicas on ONE
-chip share a single batched fused XLA call per step, plus the batched DQN
-act and the replay train step (production batch size) — i.e. real training
-throughput with a warm buffer.
+chip share a single batched fused device call per step, plus the batched
+DQN act and the replay train step (production batch size) — i.e. real
+training throughput with a warm buffer.
 
-Baseline: the reference's qulacs-CPU training on the same task runs ~27 s
-per episode (image/result3.png, README.md:27) at ~41 steps/episode
+Baseline: the reference's qulacs-CPU training on 8q H2O runs ~27 s per
+episode (image/result3.png, README.md:27) at ~41 steps/episode
 => ~1.52 env-steps/sec.  ``vs_baseline`` = our aggregate steps/sec over
-that.
+that.  For the 10q/12q rows (no published per-episode CPU time) the
+baseline is *modeled* by scaling the 8q number with statevector size
+(qulacs gate cost is O(2^n)): 1.52/4 at 10q, 1.52/16 at 12q — conservative
+(COBYLA's per-step nfev also grows with parameter count, which this model
+ignores).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_sizes"} — the headline fields are the 8q row; extra_sizes carries
+the 10q/12q measurements.
 """
 
 import json
@@ -23,13 +29,22 @@ import time
 
 import numpy as np
 
-N_ENVS = int(os.environ.get("BENCH_N_ENVS", "64"))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
+SIZES = os.environ.get("BENCH_SIZES", "8,10,12")
+
+BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
+
+# size -> (family, config, n_envs, timed-iters scale, modeled baseline)
+ROWS = {
+    8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg", 64, 1.0, BASE_8Q),
+    10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg", 32, 0.5, BASE_8Q / 4),
+    12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg", 16, 0.25, BASE_8Q / 16),
+}
 
 
-def main() -> int:
+def bench_size(n_qubits: int):
     import jax
 
     from tensorrl_qas_tpu.agents.dqn import make_agent
@@ -38,12 +53,14 @@ def main() -> int:
     from tensorrl_qas_tpu.train.config import get_config
     from tensorrl_qas_tpu.train.vector_driver import modify_states
 
-    conf = get_config("TensorRL_fixed/", "H2O8q_TNbond2.cfg")
+    family, cfg_name, n_envs, iter_scale, baseline = ROWS[n_qubits]
+    n_envs = int(os.environ.get("BENCH_N_ENVS", n_envs))
+    conf = get_config(family, cfg_name)
     conf["non_local_opt"]["global_iters"] = GLOBAL_ITERS  # ref: COBYLA 1000
     if FILL_TARGET:
         conf["agent"]["batch_size"] = int(FILL_TARGET)
     env_cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
-    venv = VectorCircuitEnv(env_cfg, n_envs=N_ENVS)
+    venv = VectorCircuitEnv(env_cfg, n_envs=n_envs)
     # safety: if the Pallas mega-kernel fails to compile on this platform,
     # fall back to the XLA path rather than failing the bench
     try:
@@ -56,15 +73,14 @@ def main() -> int:
         import dataclasses
 
         env_cfg = dataclasses.replace(env_cfg, use_pallas="off")
-        venv = VectorCircuitEnv(env_cfg, n_envs=N_ENVS)
+        venv = VectorCircuitEnv(env_cfg, n_envs=n_envs)
     agent = make_agent(conf, venv.action_size, venv.state_size, seed=0)
     agent.epsilon = 0.5  # exercise both exploration and greedy act paths
     batch_size = conf["agent"]["batch_size"]
-    rng = np.random.default_rng(0)
 
     def run_iters(n_iters, with_replay):
         states = modify_states(venv.reset_all(), venv, conf)
-        for it in range(n_iters):
+        for _ in range(n_iters):
             illegal = venv.illegal_actions()
             actions, _ = agent.act_batch(states, illegal)
             acts4 = [agent.translate[int(a)] for a in actions]
@@ -85,22 +101,48 @@ def main() -> int:
     run_iters(2, with_replay=True)
     warmup_s = time.time() - t0
 
+    timed = max(4, int(TIMED_ITERS * iter_scale))
     t0 = time.time()
-    n_steps = run_iters(TIMED_ITERS, with_replay=True)
+    n_steps = run_iters(timed, with_replay=True)
     dt = time.time() - t0
     steps_per_sec = n_steps / dt
+    import jax as _jax
 
-    qulacs_cpu_steps_per_sec = 41.0 / 27.0
+    print(f"# {n_qubits}q {cfg_name}: n_envs={venv.n_envs}, warmup "
+          f"{warmup_s:.1f}s, timed {n_steps} steps in {dt:.2f}s, "
+          f"{steps_per_sec:.1f} steps/s "
+          f"({steps_per_sec / baseline:.1f}x baseline), "
+          f"backend={_jax.default_backend()}", file=sys.stderr)
+    return steps_per_sec, baseline
+
+
+def main() -> int:
+    sizes = [int(s) for s in SIZES.split(",") if s.strip()]
+    results = {}
+    for n in sizes:
+        try:
+            sps, base = bench_size(n)
+            results[n] = (sps, base)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {n}q bench failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    if 8 not in results:
+        return 1
+    sps8, base8 = results[8]
+    extra = {
+        f"{n}q": {"steps_per_sec": round(results[n][0], 3),
+                  "vs_modeled_baseline": round(results[n][0] / results[n][1],
+                                               2)}
+        for n in results if n != 8
+    }
     out = {
         "metric": "env_steps_per_sec_8q_h2o",
-        "value": round(steps_per_sec, 3),
+        "value": round(sps8, 3),
         "unit": "steps/s/chip",
-        "vs_baseline": round(steps_per_sec / qulacs_cpu_steps_per_sec, 2),
+        "vs_baseline": round(sps8 / base8, 2),
+        "extra_sizes": extra,
     }
     print(json.dumps(out), flush=True)
-    print(f"# n_envs={venv.n_envs}, warmup {warmup_s:.1f}s, timed {n_steps} "
-          f"steps in {dt:.2f}s, backend={jax.default_backend()}",
-          file=sys.stderr)
     return 0
 
 

@@ -85,7 +85,23 @@ def main() -> int:
                                args.mapping)
     npz_path = out / npz_rel
     if not args.from_npz:
-        save_problem_npz(str(npz_path), paulis, weights)
+        if args.qubits > 14:
+            # dense diagonalization infeasible: DMRG extremal eigenvalues
+            # (partial eigvals are schema-legal; min/max_eig is all the
+            # loader consumes)
+            from tensorrl_qas_tpu.tn.dmrg import gs_dmrg
+            from tensorrl_qas_tpu.tn.mpo import mpo_from_paulis
+
+            chi_e = max(args.tn_bond * 8, 32)
+            e_min = gs_dmrg(mpo_from_paulis(paulis, weights),
+                            chi=chi_e, seed=args.seed)[0]
+            e_max = -gs_dmrg(
+                mpo_from_paulis(paulis, [-w for w in weights]),
+                chi=chi_e, seed=args.seed)[0]
+            save_problem_npz(str(npz_path), paulis, weights,
+                             eigvals=[e_min, e_max])
+        else:
+            save_problem_npz(str(npz_path), paulis, weights)
         print(f"wrote {npz_path}")
 
     res = build_warmstart(paulis, weights, chi=args.tn_bond,

@@ -87,6 +87,9 @@ class EnvConfig:
     # numerics
     sim_dtype: str = "auto"               # 'auto' | 'complex64' | 'complex128'
     use_pallas: str = "auto"              # 'auto' | 'on' | 'off'
+    # multi-chip: (n_amp, n_dp) mesh for amplitude-sharded simulation
+    # (ShardedAngleOptimizer; the scale-out path past single-chip sizes)
+    mesh_shape: tuple | None = None
     seed: int = 0
 
     @classmethod
@@ -224,18 +227,40 @@ class CircuitEnv:
         elif cfg.use_pallas == "off":
             use_pallas = False
         else:
+            # v1 mega-kernel covers D <= 1024; the 2D-tiled v2 extends the
+            # fast path to D <= 4096 (n <= 12, ops/pallas_opt2d.py)
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and (1 << n) <= 1024
+                          and (1 << n) <= 4096
                           and cfg.noise_mode == "none")
-        self.optimizer = AngleOptimizer(
-            self.problem.pauli.device_arrays(self.dtype),
-            method=cfg.optim_alg,
-            iters=cfg.global_iters, n_starts=cfg.n_starts, lr=cfg.adam_lr,
-            restart_scale=cfg.restart_scale, dtype=self.dtype,
-            noise_mode=cfg.noise_mode, noise_p1=noise_p1, noise_p2=noise_p2,
-            n_shots=cfg.n_shots, n_traj=cfg.n_traj, use_pallas=use_pallas)
-        # enable the native host engine for the COBYLA parity path
-        self.optimizer._pauli_obj = self.problem.pauli
+        if cfg.mesh_shape:
+            # amplitude-sharded scale-out path over an (amp, dp) mesh
+            if cfg.noise_mode != "none":
+                raise NotImplementedError(
+                    "noise modes are single-chip only (mesh_shape unset)")
+            from tensorrl_qas_tpu.optim.sharded_opt import \
+                ShardedAngleOptimizer
+            from tensorrl_qas_tpu.parallel.mesh import make_mesh
+
+            n_amp, n_dp = cfg.mesh_shape
+            self.mesh = make_mesh(n_amp=n_amp, n_dp=n_dp)
+            self.optimizer = ShardedAngleOptimizer(
+                self.mesh, n, self.problem.pauli, iters=cfg.global_iters,
+                n_starts=cfg.n_starts, lr=cfg.adam_lr,
+                restart_scale=cfg.restart_scale, dtype=self.dtype)
+        else:
+            self.mesh = None
+            self.optimizer = AngleOptimizer(
+                self.problem.pauli.device_arrays(self.dtype),
+                method=cfg.optim_alg,
+                iters=cfg.global_iters, n_starts=cfg.n_starts,
+                lr=cfg.adam_lr, restart_scale=cfg.restart_scale,
+                dtype=self.dtype, noise_mode=cfg.noise_mode,
+                noise_p1=noise_p1, noise_p2=noise_p2, n_shots=cfg.n_shots,
+                n_traj=cfg.n_traj, use_pallas=use_pallas)
+            # enable the native host engine for the COBYLA parity path
+            self.optimizer._pauli_obj = self.problem.pauli
+        self._psi0_pair = None   # cached (re, im): stable identity for
+        #                          the sharded optimizer's placement cache
 
         self.curriculum_dict = {
             cfg.ham_type: make_curriculum(cfg.curriculum_type,
@@ -265,12 +290,17 @@ class CircuitEnv:
 
     def _psi0(self):
         """Initial statevector as an (re, im) real pair — complex arrays
-        cannot cross jit boundaries on some TPU transports."""
-        rdt = np.float32 if self.dtype == jnp.complex64 else np.float64
-        psi = (self._tn_psi if self._tn_psi is not None
-               else zero_state(self.num_qubits, self.dtype))
-        return (np.ascontiguousarray(np.real(psi), dtype=rdt),
+        cannot cross jit boundaries on some TPU transports.  Cached: the
+        warm-start state is fixed per env, and the sharded optimizer keys
+        its device placement on the pair's identity."""
+        if self._psi0_pair is None:
+            rdt = np.float32 if self.dtype == jnp.complex64 else np.float64
+            psi = (self._tn_psi if self._tn_psi is not None
+                   else zero_state(self.num_qubits, self.dtype))
+            self._psi0_pair = (
+                np.ascontiguousarray(np.real(psi), dtype=rdt),
                 np.ascontiguousarray(np.imag(psi), dtype=rdt))
+        return self._psi0_pair
 
     def _tape(self, state: StateTensor):
         return state.to_tape(self.tape_capacity, self.rot_capacity)

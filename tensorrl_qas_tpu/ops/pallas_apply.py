@@ -6,8 +6,9 @@ evaluation whose cost is pure launch latency at statevector sizes.  These
 kernels keep the whole (B, 2^n) state batch resident in VMEM for the
 entire tape:
 
-- the XOR-partner permutation is a (D, D) 0/1 matmul built in-register
-  from broadcasted iotas, i.e. it rides the MXU (no dynamic gathers);
+- the XOR-partner permutation is a pair of +/- cyclic lane rolls with a
+  per-element target-bit select (exact f32 shuffles; no dynamic gathers,
+  no (D, D) masks, no MXU rounding);
 - complex amplitudes are separate re/im f32 planes (TPU has no native
   complex), which also sidesteps complex-at-jit-boundary transport issues;
 - each batch row carries its OWN angle vector (the multi-start optimizer);
@@ -16,7 +17,7 @@ entire tape:
   (JAX's vjp convention: d<theta> = Re[(dpsi/dtheta)^T g], verified against
   jax.vjp), and accumulate d<theta>_g = 1/2 Im[(P_g psi)^T lambda].
 
-Scope: D = 2^n <= 1024 (the (D, D) partner matrix must fit VMEM) and the
+Scope: D = 2^n <= 1024 (the (B, D) state blocks must fit VMEM) and the
 CNOT+rotation(+pauli/H) gate set; larger n or the SU(4) two-qubit-rotation
 set falls back to the XLA path.
 """
@@ -44,6 +45,16 @@ _Z = int(GateKind.Z)
 _H = int(GateKind.H)
 
 _INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+
+
+def _mm(a, b):
+    """f32 matmul at full precision.  The MXU's default one-pass bf16
+    multiply rounds psi to 8 mantissa bits; over a ~40-gate tape that
+    accumulates to ~5e-3 Ha of energy error — far above the 1.6e-3
+    chemical-accuracy gate.  HIGHEST (3-pass bf16 decomposition) restores
+    f32-level precision at 3x matmul cost."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
 
 PALLAS_MAX_DIM = 1024
 PALLAS_KINDS_OK = (_RX, _RY, _RZ, _CX, _X, _Y, _Z, _H, int(GateKind.NONE))
@@ -86,15 +97,28 @@ def _gate_coeffs(k, theta):
     return (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i)
 
 
-def _apply_u(re, im, coeffs, p, b, act):
+def _xor_lane(x, t, d):
+    """x[..., c ^ (1<<t)] for a runtime bit t: element c needs the value at
+    c + 2^t when bit t of c is 0 and at c - 2^t when it is 1, i.e. a +/-
+    cyclic lane roll selected per element.  Exact f32 shuffles — no MXU,
+    no bf16 rounding, no (D, D) mask in VMEM."""
+    col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    s = 1 << jnp.maximum(t, 0)
+    b = (col >> t) & 1
+    return jnp.where(b == 1, pltpu.roll(x, s, 1),
+                     pltpu.roll(x, (d - s) % d, 1))
+
+
+def _apply_u(re, im, coeffs, t, b, act):
     """One (controlled) 1q combine on re/im planes.
 
-    coeffs: the 8 entry parts, each (B, 1); p: (D, D) partner matmul
-    matrix; b: (1, D) target-bit; act: (1, D) control activity.
+    coeffs: the 8 entry parts, each (B, 1); t: target qubit (runtime
+    scalar); b: (1, D) target-bit; act: (1, D) control activity.
     """
     (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = coeffs
-    pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
-    pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+    d = re.shape[-1]
+    pre = _xor_lane(re, t, d)
+    pim = _xor_lane(im, t, d)
     dr = jnp.where(b == 0, u00r, u11r)
     di = jnp.where(b == 0, u00i, u11i)
     fr = jnp.where(b == 0, u01r, u10r)
@@ -105,13 +129,12 @@ def _apply_u(re, im, coeffs, p, b, act):
             act * nim + (1.0 - act) * im, pre, pim)
 
 
-def _masks(t, c, col, xor_ij):
-    p = (xor_ij == (1 << t)).astype(jnp.float32)
+def _masks(t, c, col):
     b = ((col >> t) & 1).astype(jnp.float32)
     act = jnp.where(c >= 0,
                     ((col >> jnp.maximum(c, 0)) & 1).astype(jnp.float32),
                     jnp.float32(1.0))
-    return p, b, act
+    return b, act
 
 
 def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
@@ -122,8 +145,6 @@ def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
     d = re_ref.shape[-1]
     n_gates = kind_ref.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
-    row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
-    xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
 
     ore_ref[:] = re_ref[:]
     oim_ref[:] = im_ref[:]
@@ -139,12 +160,11 @@ def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
         # dynamic-lane reads are unsupported on TPU; select the angle
         # column with a one-hot contraction instead
         onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
-        theta = jnp.dot(angles_ref[0], onehot,
-                        preferred_element_type=jnp.float32)      # (S, 1)
+        theta = _mm(angles_ref[0], onehot)      # (S, 1)
         theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
         coeffs = _gate_coeffs(k, theta)
-        p, b, act = _masks(t, c, col, xor_ij)
-        nre, nim, _, _ = _apply_u(ore_ref[0], oim_ref[0], coeffs, p, b, act)
+        b, act = _masks(t, c, col)
+        nre, nim, _, _ = _apply_u(ore_ref[0], oim_ref[0], coeffs, t, b, act)
         ore_ref[0] = nre
         oim_ref[0] = nim
         return 0
@@ -163,8 +183,6 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
     d = ore_ref.shape[-1]
     n_gates = kind_ref.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
-    row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
-    xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
 
     psr_ref[:] = ore_ref[0]       # psi (state) scratch
     psi_ref_s[:] = oim_ref[0]
@@ -186,12 +204,11 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
         c = cq_ref[e, g]
         s = slot_ref[e, g]
         onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
-        theta = jnp.dot(angles_ref[0], onehot,
-                        preferred_element_type=jnp.float32)      # (S, 1)
+        theta = _mm(angles_ref[0], onehot)      # (S, 1)
         theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
         (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = _gate_coeffs(
             k, theta)
-        p, b, act = _masks(t, c, col, xor_ij)
+        b, act = _masks(t, c, col)
         re = psr_ref[:]
         im = psi_ref_s[:]
         lre = dre_ref[0]
@@ -200,8 +217,8 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
         # --- angle gradient: 1/2 Im[(P psi)^T lambda], P in {X, Y, Z} ----
         @pl.when(s >= 0)
         def _():
-            pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
-            pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+            pre = _xor_lane(re, t, d)
+            pim = _xor_lane(im, t, d)
             sgn = 1.0 - 2.0 * b                 # (-1)^bit
             is_rx = (k == _RX).astype(jnp.float32)
             is_ry = (k == _RY).astype(jnp.float32)
@@ -221,13 +238,13 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
 
         # --- undo state with U^H (conj + swap of off-diagonals) -----------
         coeffs_h = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
-        nre, nim, _, _ = _apply_u(re, im, coeffs_h, p, b, act)
+        nre, nim, _, _ = _apply_u(re, im, coeffs_h, t, b, act)
         psr_ref[:] = nre
         psi_ref_s[:] = nim
 
         # --- propagate cotangent with U^T (swap of off-diagonals) ---------
         coeffs_t = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
-        nlr, nli, _, _ = _apply_u(lre, lim, coeffs_t, p, b, act)
+        nlr, nli, _, _ = _apply_u(lre, lim, coeffs_t, t, b, act)
         dre_ref[0] = nlr
         dim_ref[0] = nli
         return 0

@@ -44,6 +44,8 @@ from tensorrl_qas_tpu.ops.pallas_apply import (
     _apply_u,
     _gate_coeffs,
     _masks,
+    _mm,
+    _xor_lane,
 )
 
 
@@ -58,8 +60,6 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
         s_batch, d = pr_s.shape
         r = x_s.shape[-1]
         col = lax.broadcasted_iota(jnp.int32, (1, d), 1)
-        row_i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
-        xor_ij = row_i ^ lax.broadcasted_iota(jnp.int32, (d, d), 1)
         slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
         slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
         n_gates = okind.shape[-1]
@@ -67,7 +67,7 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
 
         def theta_of(xmat, s):
             onehot = (slot_iota == s).astype(jnp.float32)
-            th = jnp.dot(xmat, onehot, preferred_element_type=jnp.float32)
+            th = _mm(xmat, onehot)
             return jnp.where(s >= 0, th, jnp.float32(0.0))
 
         def forward(tape, xmat, re0, im0):
@@ -80,21 +80,17 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 c = cq_r[e, g]
                 s = slot_r[e, g]
                 coeffs = _gate_coeffs(k, theta_of(xmat, s))
-                p, b, act = _masks(t, c, col, xor_ij)
-                nre, nim, _, _ = _apply_u(re, im, coeffs, p, b, act)
+                b, act = _masks(t, c, col)
+                nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
                 return (nre, nim)
 
             return lax.fori_loop(0, n_gates, gate, (re0, im0))
 
         def h_apply(re, im):
-            hre = jnp.dot(re, hre_t_ref[:],
-                          preferred_element_type=jnp.float32) \
-                - jnp.dot(im, him_t_ref[:],
-                          preferred_element_type=jnp.float32)
-            him = jnp.dot(re, him_t_ref[:],
-                          preferred_element_type=jnp.float32) \
-                + jnp.dot(im, hre_t_ref[:],
-                          preferred_element_type=jnp.float32)
+            hre = _mm(re, hre_t_ref[:]) \
+                - _mm(im, him_t_ref[:])
+            him = _mm(re, him_t_ref[:]) \
+                + _mm(im, hre_t_ref[:])
             return hre, him
 
         def energy_rows(re, im, hre, him):
@@ -113,11 +109,11 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 s = slot_r[e, g]
                 (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
                     _gate_coeffs(k, theta_of(xmat, s))
-                p, b, act = _masks(t, c, col, xor_ij)
+                b, act = _masks(t, c, col)
 
                 # d<theta> = 1/2 Im[(P psi)^T lambda]
-                pre = jnp.dot(re, p, preferred_element_type=jnp.float32)
-                pim = jnp.dot(im, p, preferred_element_type=jnp.float32)
+                pre = _xor_lane(re, t, d)
+                pim = _xor_lane(im, t, d)
                 sgn = 1.0 - 2.0 * b
                 is_rx = (k == _RX).astype(jnp.float32)
                 is_ry = (k == _RY).astype(jnp.float32)
@@ -132,9 +128,9 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
 
                 # undo state (U^H), propagate cotangent (U^T)
                 ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
-                re, im, _, _ = _apply_u(re, im, ch, p, b, act)
+                re, im, _, _ = _apply_u(re, im, ch, t, b, act)
                 ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
-                lre, lim, _, _ = _apply_u(lre, lim, ct, p, b, act)
+                lre, lim, _, _ = _apply_u(lre, lim, ct, t, b, act)
                 return (re, im, lre, lim, dx)
 
             dx0 = jnp.zeros((s_batch, r), jnp.float32)
@@ -191,13 +187,12 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
         best = jnp.argmin(be_s[:, 0])
         srow = lax.broadcasted_iota(jnp.int32, (1, s_batch), 1)
         sel = (srow == best).astype(jnp.float32)         # (1, S)
-        x_opt = jnp.dot(sel, bx_s[:], preferred_element_type=jnp.float32)
+        x_opt = _mm(sel, bx_s[:])
 
         # remap onto the new tape: x_new[j] = x_opt[map[j]] (or 0)
         def remap(j, acc):
             mj = mapidx[e, j]              # scalar SMEM read
-            val = jnp.dot(x_opt, (slot_iota == mj).astype(jnp.float32),
-                          preferred_element_type=jnp.float32)  # (1, 1)
+            val = _mm(x_opt, (slot_iota == mj).astype(jnp.float32))
             keep = (mj >= 0).astype(jnp.float32)
             return acc + keep * val * (slot_row == j).astype(jnp.float32)
 
@@ -213,8 +208,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
             c = ncq[e, g]
             s = nslot[e, g]
             coeffs = _gate_coeffs(k, theta_of(x_new, s))
-            p, b, act = _masks(t, c, col, xor_ij)
-            nre, nim, _, _ = _apply_u(re, im, coeffs, p, b, act)
+            b, act = _masks(t, c, col)
+            nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
             return (nre, nim)
 
         reN, imN = lax.fori_loop(0, n_gates, gate_new, (re1, im1))

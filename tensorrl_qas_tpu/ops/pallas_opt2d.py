@@ -1,0 +1,411 @@
+"""Pallas mega-kernel v2: 2D-tiled statevector layout for 7 <= n <= 12.
+
+The v1 mega-kernel (ops/pallas_opt.py) materializes a (D, D) partner-
+permutation mask per gate and keeps two dense (D, D) Hamiltonian planes in
+VMEM: per-gate cost scales as D^2 and the H planes alone exceed VMEM at
+D = 2048 (n = 11).  This kernel removes both walls:
+
+Layout: the (S starts, D amplitudes) state block becomes (S*R, C) with
+C = 128 lanes, R = D/128 sublane rows; amplitude index i = r*C + c.  A
+single-qubit gate's XOR-partner permutation becomes two pltpu.roll pairs
+(lane rolls for t < 7, sublane rolls for t >= 7) with a target-bit select:
+element c needs psi[c ^ 2^t] = psi[c + 2^t] when bit t of c is 0 and
+psi[c - 2^t] when it is 1, i.e. a +/- cyclic shift selected per element.
+Rolls are exact f32 VPU shuffles — no MXU, no bf16 rounding, no (D, D)
+mask in VMEM — so per-gate cost drops from O(S*D^2) MXU FLOPs to O(S*D)
+shuffles, and n = 11..12 become feasible at all.
+
+Energy: dense H is replaced by the *flip-grouped Pauli sum*.  Terms sharing
+an X-flip mask f combine into one complex coefficient plane
+W_f(i) = sum_k w_k i^{p_k} (-1)^{parity(i & z_k)} (precomputed host-side;
+molecular Hamiltonians have ~25-150 distinct flips, e.g. H2O 12q: 923
+terms -> 142 groups), so
+
+    (H psi)[i] = sum_f W_f(i) * psi[i ^ f]
+
+costs one roll-based XOR permutation (one roll pair per set flip bit,
+all shifts static) + one multiply-accumulate per group.
+E = Re<psi|H psi> and the Adam gradient cotangent lambda = 2 conj(H psi)
+reuse the same H psi (as v1).
+
+Everything else (multi-start Adam with best-iterate tracking, angle remap
+onto the post-action tape, post-action energy) matches v1 semantics;
+tests/test_pallas_opt2d.py checks numerical agreement with the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorrl_qas_tpu.ops.pallas_apply import _RX, _RY, _RZ, _gate_coeffs
+
+_C = 128          # lane width (fixed by hardware)
+_LOG_C = 7
+
+MAX_DIM_2D = 4096     # n <= 12: W planes + state blocks fit VMEM
+MIN_DIM_2D = 128      # n >= 7: need at least one full lane row
+
+
+def pauli_flip_groups(pauli, dtype=np.float32):
+    """Host-side precompute: flip-grouped coefficient planes.
+
+    Returns (wre (G, R, C), wim (G, R, C), flips tuple[int]) with
+    W_f(i) = sum_{k: flip_k = f} w_k * iphase_k * (-1)^parity(i & sign_k),
+    laid out as (row, lane) planes: i = r*C + c.
+    """
+    from tensorrl_qas_tpu.utils.bits import parity
+
+    n = pauli.n_qubits
+    d = 1 << n
+    r_rows = d // _C
+    flips_arr = np.asarray(pauli.flip)
+    idx = np.arange(d, dtype=np.int64)
+    groups = sorted(set(int(f) for f in flips_arr))
+    wre = np.zeros((len(groups), r_rows, _C), dtype=dtype)
+    wim = np.zeros_like(wre)
+    for gi, f in enumerate(groups):
+        w = np.zeros(d, dtype=np.complex128)
+        for k in np.nonzero(flips_arr == f)[0]:
+            signs = 1.0 - 2.0 * np.asarray(
+                parity(idx & int(pauli.sign_mask[k])), dtype=np.float64)
+            w += pauli.weights[k] * complex(pauli.iphase[k]) * signs
+        wre[gi] = np.real(w).reshape(r_rows, _C)
+        wim[gi] = np.imag(w).reshape(r_rows, _C)
+    return wre, wim, tuple(groups)
+
+
+def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
+                 flips: tuple, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8):
+    sr = s_batch * r_rows
+    log_r = int(np.log2(r_rows))
+
+    def kernel(okind, otq, ocq, oslot, nkind, ntq, ncq, nslot, mapidx,
+               flip_arr,
+               p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref, active_ref,
+               xopt_ref, enew_ref,
+               x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s):
+        e = pl.program_id(0)
+        r = x_s.shape[-1]
+        n_gates = okind.shape[-1]
+        active = active_ref[0]                       # (1, R)
+
+        # --- in-register index machinery ---------------------------------
+        colv = lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        rr_col = lax.broadcasted_iota(jnp.int32, (sr, 1), 0)
+        # start-segment maps built directly from iotas (no transposes)
+        rep_s = ((rr_col >> log_r)
+                 == lax.broadcasted_iota(jnp.int32, (sr, s_batch), 1)
+                 ).astype(jnp.float32)                       # (SR, S)
+        seg = (lax.broadcasted_iota(jnp.int32, (s_batch, sr), 0)
+               == (lax.broadcasted_iota(jnp.int32, (s_batch, sr), 1)
+                   >> log_r)).astype(jnp.float32)            # (S, SR)
+        rep_r = ((rr_col & (r_rows - 1))
+                 == lax.broadcasted_iota(jnp.int32, (sr, r_rows), 1)
+                 ).astype(jnp.float32)                       # (SR, R)
+        slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        row_bits = rr_col & (r_rows - 1)                     # (SR, 1)
+
+        def mm(a, b):
+            # HIGHEST: default one-pass bf16 MXU multiplies cost ~5e-3 Ha
+            # over a 40-gate tape (see pallas_apply._mm)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+        def xor_dyn(x, t):
+            """x[i ^ (1<<t)] for a runtime bit index t: +/- rolls with a
+            per-element bit select (exact, no MXU).  Out-of-range rolls
+            degrade to identity via zero shifts."""
+            s_c = jnp.where(t < _LOG_C, 1 << jnp.maximum(t, 0), 0)
+            s_r = jnp.where(t >= _LOG_C, 1 << jnp.maximum(t - _LOG_C, 0), 0)
+            b_c = (colv >> t) & 1                # 0 for t >= _LOG_C
+            xc = jnp.where(b_c == 1, pltpu.roll(x, s_c, 1),
+                           pltpu.roll(x, (_C - s_c) % _C, 1))
+            b_r = (row_bits >> jnp.maximum(t - _LOG_C, 0)) & 1
+            return jnp.where((b_r == 1) & (t >= _LOG_C),
+                             pltpu.roll(xc, s_r, 0),
+                             pltpu.roll(xc, (sr - s_r) % sr, 0))
+
+        def permute(re, im, t):
+            return xor_dyn(re, t), xor_dyn(im, t)
+
+        def xor_static(x, f):
+            """x[i ^ f] for a static mask f: one roll pair per set bit."""
+            f_lo, f_hi = f & (_C - 1), f >> _LOG_C
+            for k in range(_LOG_C):
+                if f_lo & (1 << k):
+                    x = jnp.where(((colv >> k) & 1) == 1,
+                                  pltpu.roll(x, 1 << k, 1),
+                                  pltpu.roll(x, _C - (1 << k), 1))
+            for k in range(max(log_r, 1)):
+                if f_hi & (1 << k):
+                    x = jnp.where(((row_bits >> k) & 1) == 1,
+                                  pltpu.roll(x, 1 << k, 0),
+                                  pltpu.roll(x, sr - (1 << k), 0))
+            return x
+
+        def bit_plane(q):
+            """(SR, C)-broadcastable {0,1} plane: bit q of the index."""
+            b_col = ((colv >> jnp.maximum(q, 0)) & 1).astype(jnp.float32)
+            b_row = ((row_bits >> jnp.maximum(q - _LOG_C, 0)) & 1
+                     ).astype(jnp.float32)
+            is_col = (q < _LOG_C).astype(jnp.float32)
+            return is_col * b_col + (1.0 - is_col) * b_row   # broadcast sum
+
+        def act_plane(c):
+            return jnp.where(c >= 0, bit_plane(c), 1.0)
+
+        def theta_rows(xmat, s):
+            """Angle for slot s per start, tiled to (SR, 1)."""
+            onehot = (slot_iota == s).astype(jnp.float32)    # (R, 1)
+            th = mm(xmat, onehot)                            # (S, 1)
+            th = jnp.where(s >= 0, th, 0.0)
+            return mm(rep_s, th)                             # (SR, 1)
+
+        def apply_coeffs(rr, ii, cf, b, act, t):
+            dr = jnp.where(b == 0, cf[0], cf[6])
+            di = jnp.where(b == 0, cf[1], cf[7])
+            fr = jnp.where(b == 0, cf[2], cf[4])
+            fi = jnp.where(b == 0, cf[3], cf[5])
+            prr, pii = permute(rr, ii, t)
+            nre = dr * rr - di * ii + fr * prr - fi * pii
+            nim = dr * ii + di * rr + fr * pii + fi * prr
+            return (act * nre + (1.0 - act) * rr,
+                    act * nim + (1.0 - act) * ii)
+
+        def forward(tape, xmat, re0, im0):
+            kind_r, tq_r, cq_r, slot_r = tape
+
+            def gate(g, carry):
+                re, im = carry
+                k = kind_r[e, g]
+                t = tq_r[e, g]
+                c = cq_r[e, g]
+                s = slot_r[e, g]
+                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
+                    _gate_coeffs(k, theta_rows(xmat, s))
+                cf = (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i)
+                re, im = apply_coeffs(re, im, cf, bit_plane(t),
+                                      act_plane(c), t)
+                return (re, im)
+
+            return lax.fori_loop(0, n_gates, gate, (re0, im0))
+
+        def xor_mask_dyn(x, f):
+            """x[i ^ f] for a runtime mask f: one conditional roll pair
+            per bit position (bit off => zero shift => identity)."""
+            for k in range(_LOG_C):
+                sh = ((f >> k) & 1) << k
+                x = jnp.where(((colv >> k) & 1) == 1,
+                              pltpu.roll(x, sh, 1),
+                              pltpu.roll(x, (_C - sh) % _C, 1))
+            for k in range(max(log_r, 1)):
+                sh = ((f >> (k + _LOG_C)) & 1) << k
+                x = jnp.where(((row_bits >> k) & 1) == 1,
+                              pltpu.roll(x, sh, 0),
+                              pltpu.roll(x, (sr - sh) % sr, 0))
+            return x
+
+        def h_apply(re, im):
+            """(H psi) via flip-grouped Pauli planes.
+
+            Few groups (spin chains): the loop unrolls with STATIC flip
+            masks, skipping identity roll factors at trace time.  Many
+            groups (molecular, up to ~150): a fori_loop with runtime
+            masks — the unrolled form blows up the Mosaic compiler."""
+            hr_s[:] = jnp.zeros((sr, _C), jnp.float32)
+            hi_s[:] = jnp.zeros((sr, _C), jnp.float32)
+            if len(flips) <= 32:
+                for g, f in enumerate(flips):
+                    pre, pim = xor_static(re, f), xor_static(im, f)
+                    wr = mm(rep_r, wre_ref[g])               # (SR, C)
+                    wi = mm(rep_r, wim_ref[g])
+                    hr_s[:] = hr_s[:] + wr * pre - wi * pim
+                    hi_s[:] = hi_s[:] + wr * pim + wi * pre
+            else:
+                def group(g, _):
+                    f = flip_arr[g]
+                    pre = xor_mask_dyn(re, f)
+                    pim = xor_mask_dyn(im, f)
+                    wr = mm(rep_r, wre_ref[g])               # (SR, C)
+                    wi = mm(rep_r, wim_ref[g])
+                    hr_s[:] = hr_s[:] + wr * pre - wi * pim
+                    hi_s[:] = hi_s[:] + wr * pim + wi * pre
+                    return 0
+
+                lax.fori_loop(0, len(flips), group, 0)
+            return hr_s[:], hi_s[:]
+
+        def energy_per_start(re, im, hre, him):
+            rowsum = jnp.sum(re * hre + im * him, axis=-1,
+                             keepdims=True)                  # (SR, 1)
+            return mm(seg, rowsum)                           # (S, 1)
+
+        def backward(tape, xmat, re, im, lre, lim):
+            kind_r, tq_r, cq_r, slot_r = tape
+
+            def gate(i, carry):
+                re, im, lre, lim, dx = carry
+                g = n_gates - 1 - i
+                k = kind_r[e, g]
+                t = tq_r[e, g]
+                c = cq_r[e, g]
+                s = slot_r[e, g]
+                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
+                    _gate_coeffs(k, theta_rows(xmat, s))
+                b = bit_plane(t)
+                act = act_plane(c)
+
+                # d<theta> = 1/2 Im[(P psi)^T lambda], P in {X, Y, Z}
+                pre, pim = permute(re, im, t)
+                sgn = 1.0 - 2.0 * b
+                is_rx = (k == _RX).astype(jnp.float32)
+                is_ry = (k == _RY).astype(jnp.float32)
+                is_rz = (k == _RZ).astype(jnp.float32)
+                pr = is_rx * pre + is_ry * (sgn * pim) + is_rz * (sgn * re)
+                pi = is_rx * pim + is_ry * (-sgn * pre) + is_rz * (sgn * im)
+                rowsum = jnp.sum(pr * lim + pi * lre, axis=-1,
+                                 keepdims=True)              # (SR, 1)
+                contrib = 0.5 * mm(seg, rowsum)              # (S, 1)
+                has_angle = (s >= 0).astype(jnp.float32)
+                dx = dx + has_angle * contrib * (
+                    slot_row == s).astype(jnp.float32)
+
+                # undo state with U^H; propagate cotangent with U^T
+                ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
+                re, im = apply_coeffs(re, im, ch, b, act, t)
+                ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
+                lre, lim = apply_coeffs(lre, lim, ct, b, act, t)
+                return (re, im, lre, lim, dx)
+
+            dx0 = jnp.zeros((s_batch, r), jnp.float32)
+            out = lax.fori_loop(0, n_gates, gate, (re, im, lre, lim, dx0))
+            return out[4]
+
+        old_tape = (okind, otq, ocq, oslot)
+        new_tape = (nkind, ntq, ncq, nslot)
+        re0 = mm(rep_r, p0re_ref[:])                         # (SR, C)
+        im0 = mm(rep_r, p0im_ref[:])
+
+        x_s[:] = starts_ref[0]
+        m_s[:] = jnp.zeros_like(m_s)
+        v_s[:] = jnp.zeros_like(v_s)
+        bx_s[:] = starts_ref[0]
+        be_s[:] = jnp.full_like(be_s, jnp.inf)
+
+        def adam_iter(it, _):
+            x = x_s[:]
+            re, im = forward(old_tape, x, re0, im0)
+            hre, him = h_apply(re, im)
+            ev = energy_per_start(re, im, hre, him)
+            better = ev < be_s[:]
+            bx_s[:] = jnp.where(better, x, bx_s[:])
+            be_s[:] = jnp.where(better, ev, be_s[:])
+            dx = backward(old_tape, x, re, im, 2.0 * hre, -2.0 * him)
+            dx = dx * active
+            m = b1 * m_s[:] + (1 - b1) * dx
+            v = b2 * v_s[:] + (1 - b2) * dx * dx
+            t = it.astype(jnp.float32) + 1.0
+            b1t = jnp.exp(t * float(np.log(b1)))   # powf unsupported
+            b2t = jnp.exp(t * float(np.log(b2)))
+            x_s[:] = x - lr * (m / (1 - b1t)) / (
+                jnp.sqrt(v / (1 - b2t)) + eps)
+            m_s[:] = m
+            v_s[:] = v
+            return 0
+
+        lax.fori_loop(0, iters, adam_iter, 0)
+
+        # final candidate may beat the tracked best
+        xf = x_s[:]
+        re, im = forward(old_tape, xf, re0, im0)
+        hre, him = h_apply(re, im)
+        ev = energy_per_start(re, im, hre, him)
+        better = ev < be_s[:]
+        bx_s[:] = jnp.where(better, xf, bx_s[:])
+        be_s[:] = jnp.where(better, ev, be_s[:])
+
+        best = jnp.argmin(be_s[:, 0])
+        srow = lax.broadcasted_iota(jnp.int32, (1, s_batch), 1)
+        sel = (srow == best).astype(jnp.float32)             # (1, S)
+        x_opt = mm(sel, bx_s[:])                             # (1, R)
+
+        def remap(j, acc):
+            mj = mapidx[e, j]
+            val = mm(x_opt, (slot_iota == mj).astype(jnp.float32))
+            keep = (mj >= 0).astype(jnp.float32)
+            return acc + keep * val * (slot_row == j).astype(jnp.float32)
+
+        x_new = lax.fori_loop(0, r, remap, jnp.zeros((1, r), jnp.float32))
+
+        # --- post-action energy (all starts carry the same x; read s=0) --
+        x_pad = jnp.broadcast_to(x_new, (s_batch, r))
+        reN, imN = forward(new_tape, x_pad, re0, im0)
+        hreN, himN = h_apply(reN, imN)
+        evN = energy_per_start(reN, imN, hreN, himN)         # (S, 1)
+        e_sel = mm((srow == 0).astype(jnp.float32), evN)     # (1, 1)
+        enew_ref[0] = e_sel
+        xopt_ref[0] = x_opt
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("flips", "iters", "lr", "interpret"))
+def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
+                             wre, wim, flips, starts, active, *,
+                             iters: int, lr: float, interpret: bool = False):
+    """One launch per env step, 2D-tiled layout (7 <= n <= 12).
+
+    old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32;
+    p0re/p0im (Rr, C) f32 planes of psi0; wre/wim (G, Rr, C) flip-group
+    coefficient planes; flips: static tuple of G ints; starts (E, S, R)
+    f32; active (E, 1, R) f32.  Returns (x_opt (E, R), e_new (E,)).
+    """
+    n_env, s_batch, r = starts.shape
+    r_rows = p0re.shape[0]
+    kernel = _make_kernel(iters, lr, s_batch, r_rows, flips)
+    sr = s_batch * r_rows
+
+    def spec(shape, mapper):
+        return pl.BlockSpec(shape, mapper, memory_space=pltpu.VMEM)
+
+    per_e3 = lambda shape: spec(shape, lambda e, *_: (e, 0, 0))  # noqa: E731
+    shared2 = lambda shape: spec(shape, lambda e, *_: (0, 0))    # noqa: E731
+    shared3 = lambda shape: spec(shape, lambda e, *_: (0, 0, 0))  # noqa: E731
+
+    n_groups = wre.shape[0]
+    flips_arr = jnp.asarray(np.asarray(flips, dtype=np.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(n_env,),
+        in_specs=[shared2((r_rows, _C)), shared2((r_rows, _C)),
+                  shared3((n_groups, r_rows, _C)),
+                  shared3((n_groups, r_rows, _C)),
+                  per_e3((1, s_batch, r)), per_e3((1, 1, r))],
+        out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),
+                   spec((1, 1, 1), lambda e, *_: (e, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((s_batch, r), jnp.float32),   # x
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # m
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # v
+                        pltpu.VMEM((s_batch, r), jnp.float32),   # best x
+                        pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
+                        pltpu.VMEM((sr, _C), jnp.float32),       # H psi re
+                        pltpu.VMEM((sr, _C), jnp.float32)],      # H psi im
+    )
+    x_opt, e_new = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_env, 1, r), jnp.float32),
+                   jax.ShapeDtypeStruct((n_env, 1, 1), jnp.float32)),
+        interpret=interpret,
+    )(*old_arrs, *new_arrs, map_idx, flips_arr, p0re, p0im, wre, wim,
+      starts, active)
+    return x_opt[:, 0, :], e_new[:, 0, 0]

@@ -77,6 +77,10 @@ class AngleOptimizer:
         self.n_traj = n_traj
         self.use_pallas = use_pallas and noise_mode == "none"
         self.pallas_interpret = False   # tests set True to run on CPU
+        # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
+        # for 1024 < D <= 4096; 'v1'/'v2' force one (v2 needs D >= 128)
+        self.pallas_engine = "auto"
+        self._w2d = None
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
@@ -103,6 +107,47 @@ class AngleOptimizer:
         self._hre_t = jnp.asarray(np.real(ht), jnp.float32)
         self._him_t = jnp.asarray(np.imag(ht), jnp.float32)
         return True
+
+    def _mega2d_ready(self) -> bool:
+        """Prepare flip-grouped Pauli planes for the 2D-tiled mega-kernel
+        (ops/pallas_opt2d.py); usable for 128 <= D <= 4096."""
+        if self._w2d is not None:
+            return True
+        if self._pauli_obj is None:
+            return False
+        from tensorrl_qas_tpu.ops.pallas_opt2d import (
+            MAX_DIM_2D,
+            MIN_DIM_2D,
+            pauli_flip_groups,
+        )
+
+        d = 1 << self._pauli_obj.n_qubits
+        if not (MIN_DIM_2D <= d <= MAX_DIM_2D):
+            return False
+        wre, wim, flips = pauli_flip_groups(self._pauli_obj)
+        self._w2d = (jnp.asarray(wre), jnp.asarray(wim), flips)
+        return True
+
+    def _pick_engine(self) -> str:
+        """Select the mega-kernel variant for the current problem."""
+        if self.pallas_engine == "v1":
+            return "v1" if self._mega_ready() else "composed"
+        if self.pallas_engine == "v2":
+            return "v2" if self._mega2d_ready() else "composed"
+        # v1 (flat lane layout + dense-H MXU energy) is fastest up to
+        # D = 512; v2 (2D-tiled + flip-grouped Pauli energy) covers
+        # 1024 <= D <= 4096.  Both are exact f32 (roll-based partners).
+        # The complementary cases (v1 at D >= 1024, v2 at D <= 512) hit a
+        # Mosaic compiler crash on v5e and are excluded here.
+        if self._pauli_obj is not None \
+                and (1 << self._pauli_obj.n_qubits) <= 512 \
+                and self._mega_ready():
+            return "v1"
+        if self._mega2d_ready():
+            return "v2"
+        if self._mega_ready():
+            return "v1"
+        return "composed"
 
     def _csim_engine(self):
         """Native host engine for the COBYLA inner loop (no device round
@@ -319,25 +364,43 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        if self.use_pallas and self._mega_ready():
+        engine = self._pick_engine() if self.use_pallas else "off"
+        if engine in ("v1", "v2"):
             # single-launch path: the whole multi-start Adam runs inside
-            # one Pallas kernel (ops/pallas_opt.py)
+            # one Pallas kernel (ops/pallas_opt.py or pallas_opt2d.py)
             kn = keys[0] if keys.ndim > 1 else keys
             noise = jax.random.normal(
                 kn, x0_b.shape[:1] + (self.n_starts, x0_b.shape[1]),
                 dtype=x0_b.dtype) * self.restart_scale
             noise = noise.at[:, 0, :].set(0.0)
             starts = (x0_b[:, None, :] + noise) * active[:, None, :]
-            from tensorrl_qas_tpu.ops.pallas_opt import fused_adam_step_pallas
-
             re0, im0 = psi0
-            x_opt, e_new = fused_adam_step_pallas(
-                tuple(map(jnp.asarray, old_arrs_b)),
-                tuple(map(jnp.asarray, new_arrs_b)),
-                jnp.asarray(map_idx_b), jnp.asarray(re0)[None],
-                jnp.asarray(im0)[None], self._hre_t, self._him_t, starts,
-                active[:, None, :], iters=self.iters, lr=self.lr,
-                interpret=self.pallas_interpret)
+            if engine == "v1":
+                from tensorrl_qas_tpu.ops.pallas_opt import \
+                    fused_adam_step_pallas
+
+                x_opt, e_new = fused_adam_step_pallas(
+                    tuple(map(jnp.asarray, old_arrs_b)),
+                    tuple(map(jnp.asarray, new_arrs_b)),
+                    jnp.asarray(map_idx_b), jnp.asarray(re0)[None],
+                    jnp.asarray(im0)[None], self._hre_t, self._him_t,
+                    starts, active[:, None, :], iters=self.iters,
+                    lr=self.lr, interpret=self.pallas_interpret)
+            else:
+                from tensorrl_qas_tpu.ops.pallas_opt2d import \
+                    fused_adam_step_pallas2d
+
+                wre, wim, flips = self._w2d
+                r_rows = wre.shape[1]
+                x_opt, e_new = fused_adam_step_pallas2d(
+                    tuple(map(jnp.asarray, old_arrs_b)),
+                    tuple(map(jnp.asarray, new_arrs_b)),
+                    jnp.asarray(map_idx_b),
+                    jnp.asarray(re0).reshape(r_rows, -1),
+                    jnp.asarray(im0).reshape(r_rows, -1),
+                    wre, wim, flips, starts, active[:, None, :],
+                    iters=self.iters, lr=self.lr,
+                    interpret=self.pallas_interpret)
         elif self.use_pallas:
             x_opt, e_new = self._fused_pallas_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,

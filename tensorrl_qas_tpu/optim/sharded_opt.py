@@ -1,0 +1,159 @@
+"""Amplitude-sharded per-step angle optimization (scale-out past ~13q).
+
+``ShardedAngleOptimizer`` is the multi-chip drop-in for the hot-path
+methods of ``AngleOptimizer`` (``fused_step``/``energy``): the 2^n
+statevector is sharded over the mesh's ``amp`` axis through
+``ShardedSimulator`` (ppermute partner exchanges, psum expectations) and
+the multi-start batch rides the ``dp`` axis.  One jitted program per env
+step, exactly like the single-chip fused path.
+
+This is the capability the reference caps at 20 qubits on one CPU
+(``README.md:29``, qulacs statevector): here n is bounded by per-chip
+HBM / amp-axis size (2^n * 8 bytes / n_amp per chip), not by one device.
+
+Used by ``envs/circuit_env.py`` when ``EnvConfig.mesh_shape`` is set;
+tests/test_sharded_training.py drives a 20-qubit env end-to-end on a
+virtual 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tensorrl_qas_tpu.parallel.sharded_sim import ShardedSimulator
+
+
+class ShardedAngleOptimizer:
+    """Fixed-iteration multi-start Adam over an (amp, dp) device mesh.
+
+    Args:
+      mesh: mesh with ``amp`` and ``dp`` axes (from parallel.mesh.make_mesh).
+      n_qubits: problem size; 2^n divisible by the amp axis.
+      pauli: PauliSum (grouped by device-flip mask at setup).
+      iters/n_starts/lr/restart_scale: as AngleOptimizer.
+    """
+
+    def __init__(self, mesh, n_qubits: int, pauli, iters: int = 100,
+                 n_starts: int = 8, lr: float = 0.1,
+                 restart_scale: float = 0.1, dtype=jnp.complex64):
+        self.mesh = mesh
+        self.n = n_qubits
+        self.sim = ShardedSimulator(mesh, n_qubits, pauli, dtype=dtype)
+        self.iters = iters
+        # the starts batch rides dp; round up to a multiple of its size
+        n_dp = mesh.shape.get("dp", 1)
+        self.n_starts = max(n_starts, n_dp)
+        if self.n_starts % n_dp:
+            self.n_starts += n_dp - self.n_starts % n_dp
+        self.lr = lr
+        self.restart_scale = restart_scale
+        self.dtype = dtype
+        self.rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        self._fused_jit = jax.jit(self._fused_step)
+        self._energy_jit = jax.jit(self._energy_one)
+        self._psi0_cache = {}
+
+    # -- state handling --------------------------------------------------------
+
+    def _psi0_batched(self, psi0):
+        """(B, 2^n) sharded initial-state batch from an (re, im) host pair
+        (or None for |0...0>).  Cached: the warm-start state is fixed per
+        env, and re-placing a 2^n-sized batch every step would dominate."""
+        key = id(psi0[0]) if isinstance(psi0, tuple) else None
+        cached = self._psi0_cache.get(key)
+        if cached is not None:
+            return cached
+        b = self.n_starts
+        if psi0 is None:
+            out = self.sim.zero_state_batched(b)
+        else:
+            re, im = psi0
+            psi = (np.asarray(re) + 1j * np.asarray(im)).astype(
+                np.dtype(self.dtype))
+            out = jax.device_put(
+                np.broadcast_to(psi, (b, psi.shape[-1])),
+                NamedSharding(self.mesh, P("dp", "amp")))
+        self._psi0_cache = {key: out}
+        return out
+
+    # -- fused step -------------------------------------------------------------
+
+    def _mean_and_each(self, psi0_b, arrs, xb):
+        psi = self.sim.apply_tape_batched(psi0_b, *arrs, xb)
+        ev = self.sim.expectation_batched(psi)
+        return jnp.sum(ev), ev
+
+    def _fused_step(self, psi0_b, old_arrs, x0, active, new_arrs, map_idx,
+                    key):
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        kn, _ = jax.random.split(key)
+        noise = jax.random.normal(kn, (self.n_starts, x0.shape[0]),
+                                  dtype=x0.dtype) * self.restart_scale
+        noise = noise.at[0].set(0.0)                  # start 0 = warm start
+        starts = (x0[None, :] + noise) * active[None, :]
+        starts = jax.lax.with_sharding_constraint(
+            starts, NamedSharding(self.mesh, P("dp")))
+
+        val_and_grad = jax.value_and_grad(
+            lambda xb: self._mean_and_each(psi0_b, old_arrs, xb),
+            has_aux=True)
+
+        def step(carry, i):
+            x, m, v, best_x, best_e = carry
+            (_, ev), g = val_and_grad(x)
+            g = g * active[None, :]
+            better = ev < best_e
+            best_x = jnp.where(better[:, None], x, best_x)
+            best_e = jnp.where(better, ev, best_e)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            t = i.astype(x.dtype) + 1.0
+            x = x - self.lr * (m / (1 - b1 ** t)) / (
+                jnp.sqrt(v / (1 - b2 ** t)) + eps)
+            return (x, m, v, best_x, best_e), None
+
+        init = (starts, jnp.zeros_like(starts), jnp.zeros_like(starts),
+                starts, jnp.full((self.n_starts,), jnp.inf, x0.dtype))
+        (x, _, _, best_x, best_e), _ = jax.lax.scan(
+            step, init, jnp.arange(self.iters))
+        _, ev = self._mean_and_each(psi0_b, old_arrs, x)
+        better = ev < best_e
+        best_x = jnp.where(better[:, None], x, best_x)
+        best_e = jnp.where(better, ev, best_e)
+
+        sel = jnp.argmin(best_e)
+        x_opt = best_x[sel]
+        x_new = jnp.where(map_idx >= 0, x_opt[jnp.maximum(map_idx, 0)], 0.0)
+        xb_new = jnp.broadcast_to(x_new, (self.n_starts, x_new.shape[0]))
+        _, ev_new = self._mean_and_each(psi0_b, new_arrs, xb_new)
+        return x_opt, ev_new[0]
+
+    def fused_step(self, psi0, old_tape_arrays, x0, n_active_old,
+                   new_tape_arrays, map_idx, key):
+        """AngleOptimizer.fused_step signature: returns (x_opt (R,) numpy,
+        e_new float, nfev)."""
+        x0 = jnp.asarray(np.asarray(x0, dtype=self.rdtype))
+        active = (jnp.arange(x0.shape[0]) < n_active_old).astype(self.rdtype)
+        psi0_b = self._psi0_batched(psi0)
+        x_opt, e_new = self._fused_jit(
+            psi0_b, tuple(map(jnp.asarray, old_tape_arrays)), x0, active,
+            tuple(map(jnp.asarray, new_tape_arrays)), jnp.asarray(map_idx),
+            key)
+        return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
+
+    # -- single energy ----------------------------------------------------------
+
+    def _energy_one(self, psi0_b, arrs, x):
+        xb = jnp.broadcast_to(x, (self.n_starts, x.shape[0]))
+        _, ev = self._mean_and_each(psi0_b, arrs, xb)
+        return ev[0]
+
+    def energy(self, psi0, tape_arrays, x, key=None) -> float:
+        x = jnp.asarray(np.asarray(x, dtype=self.rdtype))
+        psi0_b = self._psi0_batched(psi0)
+        return float(self._energy_jit(psi0_b,
+                                      tuple(map(jnp.asarray, tape_arrays)),
+                                      x))

@@ -108,21 +108,28 @@ def dense_from_paulis(paulis, weights) -> np.ndarray:
 
 
 def save_problem_npz(path: str, paulis, weights, energy_shift: float = 0.0,
-                     with_dense: bool = True) -> None:
-    """Emit the reference .npz schema for a Pauli-sum problem."""
+                     with_dense: bool = True, eigvals=None) -> None:
+    """Emit the reference .npz schema for a Pauli-sum problem.
+
+    ``eigvals``: pass precomputed (possibly partial) eigenvalues for sizes
+    where dense diagonalization is infeasible (n >~ 14; DMRG extremal
+    values suffice — min/max_eig are all the loader consumes, and the
+    schema explicitly allows partial spectra, see load_problem)."""
     n = len(paulis[0])
     out = {
         "weights": np.asarray(weights, dtype=np.float64),
         "paulis": np.asarray(paulis),
         "energy_shift": energy_shift,
     }
-    ps = PauliSum.from_strings(paulis, weights, n_qubits=n)
-    dense_le = ps.to_dense()
-    eigvals = np.linalg.eigvalsh(dense_le)
-    out["eigvals"] = eigvals
-    if with_dense:
-        perm = bit_reversal_permutation(n)
-        out["hamiltonian"] = dense_le[np.ix_(perm, perm)]
+    if eigvals is not None:
+        out["eigvals"] = np.asarray(eigvals, dtype=np.float64)
+    else:
+        ps = PauliSum.from_strings(paulis, weights, n_qubits=n)
+        dense_le = ps.to_dense()
+        out["eigvals"] = np.linalg.eigvalsh(dense_le)
+        if with_dense:
+            perm = bit_reversal_permutation(n)
+            out["hamiltonian"] = dense_le[np.ix_(perm, perm)]
     np.savez(path, **out)
 
 

@@ -12,7 +12,7 @@ little-endian qubit order) and flip mask f = x | y:
     (P psi)[i] = (-i)^{|y|} * (-1)^{popcount(i & (y|z))} * psi[i ^ f]
 
 so <psi|P|psi> reduces to a signed gather-dot.  Verified against the dense
-oracle in tests/test_expectation.py.
+oracle in tests/test_sim_core.py.
 """
 
 from __future__ import annotations

@@ -83,10 +83,18 @@ def one_episode(episode: int, env, agent, conf: dict, saver: Saver) -> dict:
     return summary
 
 
-def agent_test(episode: int, env, agent, conf: dict, saver: Saver):
+def agent_test(episode: int, env, agent, conf: dict, saver: Saver,
+               output_path: str | None = None,
+               threshold: float | None = None):
     """Greedy (epsilon=0) evaluation rollout; returns (reward, steps,
     error).  Semantics from the reference's intended eval path
-    (``TensorRL_fixed_noiseless.py:66-102``)."""
+    (``TensorRL_fixed_noiseless.py:66-102``).
+
+    When ``output_path`` is given, a per-threshold best-model checkpoint is
+    saved whenever this rollout beats every previous test episode at the
+    same done_threshold (``TensorRL_fixed_noiseless.py:94-98``; the
+    reference's comparison includes the current episode in the min so its
+    save never fires — we exclude it, implementing the intent)."""
     saver.new_episode("test", episode)
     state = env.reset()
     state = modify_state(state, env, conf)
@@ -108,6 +116,20 @@ def agent_test(episode: int, env, agent, conf: dict, saver: Saver):
                 saver.set("test", episode, done_threshold=env.done_threshold,
                           bond_distance=env.current_bond_distance)
                 saver.validate("test", episode)
+                if output_path is not None:
+                    prev_best = [rec["errors"][-1]
+                                 for ep, rec in saver.stats["test"].items()
+                                 if ep != episode and rec["errors"]
+                                 and rec["done_threshold"]
+                                 == env.done_threshold]
+                    if not prev_best or min(prev_best) > env.error:
+                        thr = threshold if threshold is not None \
+                            else conf["env"]["accept_err"]
+                        from tensorrl_qas_tpu.train.checkpoint import \
+                            save_checkpoint
+                        save_checkpoint(
+                            f"{output_path}/thresh_{thr}_{saver.seed}"
+                            f"_best_geo_{env.current_bond_distance}", agent)
                 return float(reward), t, env.error
     finally:
         agent.epsilon = eps
@@ -142,7 +164,8 @@ def train(env, agent, conf: dict, seed: int, output_path: str,
             saver.save()
             save_checkpoint(ckpt_prefix, agent, env)
         if test_every and e % test_every == 0 and e > 0:
-            agent_test(e, env, agent, conf, saver)
+            agent_test(e, env, agent, conf, saver,
+                       output_path=output_path, threshold=threshold)
 
     saver.save()
     save_checkpoint(ckpt_prefix, agent, env)

@@ -32,17 +32,65 @@ def modify_states(states: np.ndarray, venv: VectorCircuitEnv, conf: dict):
     return states
 
 
+class _EpisodeBuffers:
+    """Per-replica step accumulators, flushed to the Saver on done.
+
+    Reconstructs the sequential driver's per-episode ``summary_<seed>.npy``
+    records from B interleaved replica streams: each replica buffers its
+    steps; when its episode finishes it is assigned the next global episode
+    index (completion order). Replay losses are appended to every replica
+    active at that iteration (in vectorized mode one learner step serves
+    all replicas — there is no single owning episode)."""
+
+    def __init__(self, n_envs: int):
+        self.bufs = [self._fresh() for _ in range(n_envs)]
+
+    @staticmethod
+    def _fresh():
+        return {"loss": [], "actions": [], "errors": [],
+                "errors_noiseless": [], "nfev": [], "opt_ang": [],
+                "time": [], "save_circ": [], "reward": []}
+
+    def append_step(self, i, action, env, reward, dt):
+        buf = self.bufs[i]
+        buf["actions"].append(int(action))
+        buf["errors"].append(env.error)
+        buf["errors_noiseless"].append(env.error_noiseless)
+        buf["nfev"].append(env.nfev)
+        buf["opt_ang"].append(env.opt_ang_save)
+        buf["save_circ"].append(env.save_circ)
+        buf["reward"].append(float(reward))
+        buf["time"].append(dt)
+
+    def append_loss(self, loss):
+        for buf in self.bufs:
+            buf["loss"].append(loss)
+
+    def flush(self, i, episode: int, env, saver: Saver):
+        saver.new_episode("train", episode)
+        saver.stats["train"][episode].update(self.bufs[i])
+        saver.set("train", episode, done_threshold=env.done_threshold,
+                  bond_distance=env.current_prob)
+        saver.validate("train", episode)
+        self.bufs[i] = self._fresh()
+
+
 def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                      output_path: str, total_env_steps: int,
                      replays_per_iter: int = 1, verbose: bool = True,
-                     loss_fetch_every: int = 10) -> dict:
+                     loss_fetch_every: int = 10,
+                     summary_save_every: int = 200) -> dict:
     """Run vectorized training for a fixed env-step budget.
 
-    Returns summary stats (episodes finished, best error, steps/sec).
+    Produces the same artifact set as the sequential driver: the
+    reference-schema ``summary_<seed>.npy`` (per-episode stats, completion
+    order), the ``events_<seed>.jsonl`` stream, and checkpoints. Returns
+    summary stats (episodes finished, best error, steps/sec).
     """
     saver = Saver(output_path, seed)
     batch_size = conf["agent"]["batch_size"]
     b = venv.n_envs
+    ep_bufs = _EpisodeBuffers(b)
 
     states = venv.reset_all()
     states = modify_states(states, venv, conf)
@@ -50,6 +98,7 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     successes = 0
     best_error = np.inf
     t0 = time.time()
+    t_last = t0
     steps = 0
     it = 0
 
@@ -60,11 +109,17 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
         acts4 = [agent.translate[int(a)] for a in actions]
         next_states, rewards, dones, infos = venv.step_all(acts4)
         next_states = modify_states(next_states, venv, conf)
+        t_now = time.time()
+        dt_step = (t_now - t_last) / b  # amortized per-replica step time
+        t_last = t_now
 
         for i in range(b):
             agent.remember(states[i], int(actions[i]), float(rewards[i]),
                            next_states[i], float(dones[i]))
+            ep_bufs.append_step(i, actions[i], venv.envs[i], rewards[i],
+                                dt_step)
             if dones[i]:
+                ep_bufs.flush(i, episodes_done, venv.envs[i], saver)
                 episodes_done += 1
                 best_error = min(best_error, infos[i]["error"])
                 if rewards[i] >= 5.0:
@@ -75,8 +130,10 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
 
         if len(agent.memory) > batch_size:
             for _ in range(replays_per_iter):
-                agent.replay(batch_size,
-                             fetch_loss=(it % loss_fetch_every == 0))
+                loss = agent.replay(batch_size,
+                                    fetch_loss=(it % loss_fetch_every == 0))
+            if it % loss_fetch_every == 0 and loss is not None:
+                ep_bufs.append_loss(float(loss))
 
         if verbose and it % 20 == 0:
             sps = steps / (time.time() - t0)
@@ -87,6 +144,8 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                                 "episodes": episodes_done,
                                 "successes": successes,
                                 "best_error": float(best_error)})
+        if it % summary_save_every == 0:
+            saver.save()
         if it % 500 == 0:
             from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
 
@@ -95,6 +154,7 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
 
     save_checkpoint(f"{output_path}/vec_{seed}", agent)
+    saver.save()
     dt = time.time() - t0
     return {"episodes": episodes_done, "successes": successes,
             "best_error": float(best_error), "steps": steps,

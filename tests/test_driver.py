@@ -85,3 +85,33 @@ def test_agent_test_greedy_rollout(tmp_path):
     assert steps <= env.num_layers
     assert np.isfinite(error)
     assert len(saver.stats["test"][0]["actions"]) >= 1
+
+
+def test_agent_test_saves_best_per_threshold(tmp_path):
+    """First completed eval at a threshold is a best; a later worse one
+    must not overwrite it (TensorRL_fixed_noiseless.py:94-98 intent)."""
+    conf = small_conf()
+    env = make_env(conf, seed=2)
+    agent = make_agent(conf, env.action_size, env.state_size, seed=2)
+    from tensorrl_qas_tpu.train.saver import Saver
+
+    saver = Saver(str(tmp_path), 2)
+    r = agent_test(0, env, agent, conf, saver, output_path=str(tmp_path),
+                   threshold=conf["env"]["accept_err"])
+    if r[0] is None:
+        pytest.skip("rollout did not finish inside layer budget")
+    bond = env.current_bond_distance
+    best = tmp_path / f"thresh_0.001_2_best_geo_{bond}_agent.msgpack"
+    assert best.exists()
+    first_mtime = best.stat().st_mtime_ns
+    # fake a later, worse eval: inflate the recorded error of episode 1
+    saver.new_episode("test", 1)
+    saver.append("test", 1, actions=0, errors=1e9, errors_noiseless=1e9,
+                 nfev=0, opt_ang=0, time=0.0)
+    saver.set("test", 1, done_threshold=env.done_threshold)
+    # run a real eval as episode 2; it saves only if it beats episode 0
+    err0 = saver.stats["test"][0]["errors"][-1]
+    r2 = agent_test(2, env, agent, conf, saver, output_path=str(tmp_path),
+                    threshold=conf["env"]["accept_err"])
+    if r2[0] is not None and saver.stats["test"][2]["errors"][-1] >= err0:
+        assert best.stat().st_mtime_ns == first_mtime

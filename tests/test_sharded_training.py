@@ -1,0 +1,103 @@
+"""Sharded training path: ShardedAngleOptimizer wired into CircuitEnv.
+
+Runs on the virtual 8-device CPU mesh (conftest.py). Covers the scale-out
+capability the reference caps at 20 qubits (README.md:29): a 20-qubit env
+takes real training steps with the statevector amplitude-sharded over the
+mesh and the multi-start batch on the dp axis.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tensorrl_qas_tpu.envs.circuit_env import CircuitEnv, EnvConfig
+from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+from tensorrl_qas_tpu.optim.sharded_opt import ShardedAngleOptimizer
+from tensorrl_qas_tpu.parallel.mesh import make_mesh
+from tensorrl_qas_tpu.problems.hamiltonians import (
+    heisenberg_hamiltonian,
+    problem_npz_name,
+    resolve_data_file,
+)
+from tensorrl_qas_tpu.sim.apply import zero_state
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+from tests.test_pallas_apply import random_tape
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_sharded_fused_step_matches_single_chip():
+    """Same problem/tape/warm start: the sharded fused step must land at a
+    comparable minimum and report the single-chip energy at its solution."""
+    n = 5
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    mesh = make_mesh(n_amp=2, n_dp=4)
+    opt_s = ShardedAngleOptimizer(mesh, n, ps, iters=30, n_starts=4,
+                                  dtype=jnp.complex64)
+    opt_x = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=30,
+                           n_starts=4, dtype=jnp.complex64)
+    tape = random_tape(n, 14, seed=2)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    x0 = tape.x0().astype(np.float32)
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    x1, e1, _ = opt_x.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs,
+                                 map_idx, key)
+    x2, e2, nfev = opt_s.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs,
+                                    map_idx, key)
+    assert nfev > 0
+    assert e2 == pytest.approx(e1, abs=0.2)
+    e_check = opt_x.energy(psi0_ri, arrs, x2)
+    assert e2 == pytest.approx(e_check, abs=1e-4)
+    # energy() API agrees too
+    assert opt_s.energy(psi0_ri, arrs, x0) == pytest.approx(
+        opt_x.energy(psi0_ri, arrs, x0), abs=1e-4)
+
+
+def _have_20q_data():
+    try:
+        resolve_data_file(problem_npz_name("heisenberg", 20))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(not _have_20q_data(),
+                    reason="run scripts/generate_data.py --ham heisenberg "
+                           "--qubits 20 first")
+def test_env_steps_at_20_qubits_on_mesh():
+    """End-to-end: a 20-qubit CircuitEnv takes real training steps through
+    the amplitude-sharded optimizer on a (2 amp x 4 dp) mesh — past the
+    reference's explicit single-machine ceiling."""
+    cfg = EnvConfig(
+        num_qubits=20, num_layers=30, ham_type="heisenberg",
+        tn_placement="in_state", tn_init=1, tn_bond=2, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=2, n_starts=4,
+        sim_dtype="complex64", mesh_shape=(2, 4), seed=0)
+    env = CircuitEnv(cfg)
+    assert env.mesh is not None
+    state = env.reset()
+    assert np.isfinite(env.prev_energy)
+    e_first = env.prev_energy
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        ill = set(env.illegal_action_new())
+        legal = [k for k in env.action_dict if k not in ill]
+        a = env.action_dict[int(rng.choice(legal))]
+        state, reward, done = env.step(a)
+        assert np.isfinite(env.energy)
+        assert env.nfev > 0
+    # energies stay in the physical band (min_eig from DMRG extremes)
+    assert env.energy >= env.min_eig - 0.5
+    assert abs(e_first - env.min_eig) < abs(0.0 - env.min_eig), \
+        "warm start should beat the zero state"

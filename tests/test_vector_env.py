@@ -140,3 +140,42 @@ def test_device_replay_per_path():
     # priorities were updated from TD errors (no longer all equal)
     pri = agent.memory.priorities[: agent.memory.size]
     assert pri.std() > 0
+
+
+def test_train_vectorized_writes_summary_npy(tmp_path):
+    """The vectorized trainer must produce the sequential driver's full
+    artifact set: reference-schema summary_<seed>.npy (episodes in
+    completion order), events jsonl, checkpoint."""
+    from tensorrl_qas_tpu.agents.dqn import make_agent
+    from tensorrl_qas_tpu.train.vector_driver import train_vectorized
+
+    conf = {
+        "general": {"episodes": 2},
+        "agent": {"batch_size": 8, "memory_size": 128, "neurons": [32],
+                  "dropout": 0.0, "learning_rate": 1e-3, "angles": 0,
+                  "en_state": 1, "agent_type": "DeepQ",
+                  "agent_class": "DQN", "init_net": 0,
+                  "priotitized_replay": 0, "update_target_net": 10,
+                  "final_gamma": 0.05, "epsilon_decay": 0.99,
+                  "epsilon_min": 0.05, "epsilon_restart": 1.0},
+        "env": {"num_qubits": 5, "num_layers": 40, "accept_err": 1e-3},
+    }
+    venv = VectorCircuitEnv(make_cfg(), n_envs=3)
+    agent = make_agent(conf, venv.action_size, venv.state_size, seed=0)
+    # enough steps that at least one replica finishes an episode
+    # (episodes cap at num_layers_termination+1 steps)
+    budget = 3 * (venv.envs[0].num_layers_termination + 2)
+    summary = train_vectorized(venv, agent, conf, seed=0,
+                               output_path=str(tmp_path),
+                               total_env_steps=budget, verbose=False)
+    assert summary["episodes"] >= 1
+    blob = np.load(tmp_path / "summary_0.npy", allow_pickle=True).item()
+    assert len(blob["train"]) == summary["episodes"]
+    rec = blob["train"][0]
+    for key in ("loss", "actions", "errors", "errors_noiseless", "nfev",
+                "opt_ang", "time", "save_circ", "reward",
+                "done_threshold"):
+        assert key in rec
+    assert len(rec["actions"]) == len(rec["errors"]) > 0
+    assert (tmp_path / "events_0.jsonl").exists()
+    assert (tmp_path / "vec_0_agent.msgpack").exists()
