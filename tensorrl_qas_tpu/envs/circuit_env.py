@@ -228,10 +228,11 @@ class CircuitEnv:
             use_pallas = False
         else:
             # v1 mega-kernel covers D <= 1024; the 2D-tiled v2 extends the
-            # fast path to D <= 4096 (n <= 12, ops/pallas_opt2d.py)
+            # fast path to D <= 4096 (n <= 12, ops/pallas_opt2d.py).  Noise
+            # modes run the composed kernels (sampled-tape-extension
+            # trajectories / shot term), capped by the 3x extended tape.
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and (1 << n) <= 4096
-                          and cfg.noise_mode == "none")
+                          and (1 << n) <= 4096)
         if cfg.mesh_shape:
             # amplitude-sharded scale-out path over an (amp, dp) mesh
             if cfg.noise_mode != "none":

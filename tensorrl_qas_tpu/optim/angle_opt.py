@@ -33,9 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tensorrl_qas_tpu.circuits.tape import GateKind
 from tensorrl_qas_tpu.sim.apply import apply_tape
 from tensorrl_qas_tpu.sim.expectation import pauli_expectation
 from tensorrl_qas_tpu.sim.noise import apply_tape_depolarizing, shot_noise
+
+_RX, _RZ = int(GateKind.RX), int(GateKind.RZ)
+_CX, _X = int(GateKind.CX), int(GateKind.X)
+_NONE = int(GateKind.NONE)
 
 
 class AngleOptimizer:
@@ -75,7 +80,7 @@ class AngleOptimizer:
         self.noise_p2 = noise_p2
         self.n_shots = n_shots
         self.n_traj = n_traj
-        self.use_pallas = use_pallas and noise_mode == "none"
+        self.use_pallas = use_pallas
         self.pallas_interpret = False   # tests set True to run on CPU
         # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
         # for 1024 < D <= 4096; 'v1'/'v2' force one (v2 needs D >= 128)
@@ -281,6 +286,48 @@ class AngleOptimizer:
     # -- pallas fast path: whole multi-env multi-start optimization with
     # O(iters) kernel launches instead of O(iters * gates) -----------------
 
+    def _sample_noise_kinds(self, kind, key):
+        """Per-gate depolarizing draw as *gate kinds* for the two noise
+        slots that follow each real gate (target slot, control slot).
+
+        Same distribution as ``sim.noise.apply_tape_depolarizing``: after a
+        rotation, prob ``p1`` of a uniform Pauli on the target; after a CX,
+        prob ``p2`` of one of the 15 non-identity Pauli pairs (qulacs
+        TwoQubitDepolarizingNoise convention).  Returns int32 kind arrays
+        shaped like ``kind`` (NONE = no error).
+        """
+        ku, k1, kj = jax.random.split(key, 3)
+        u = jax.random.uniform(ku, kind.shape)
+        is_rot = (kind >= _RX) & (kind <= _RZ)
+        is_cx = kind == _CX
+        fire1 = is_rot & (u < self.noise_p1)
+        fire2 = is_cx & (u < self.noise_p2)
+        code1 = jax.random.randint(k1, kind.shape, 1, 4)
+        j = jax.random.randint(kj, kind.shape, 1, 16)
+
+        def pk(code):       # 0 -> NONE, 1..3 -> X/Y/Z
+            return jnp.where(code == 0, _NONE, _X + code - 1)
+
+        kt = jnp.where(fire1, pk(code1),
+                       jnp.where(fire2, pk(j % 4), _NONE))
+        kc = jnp.where(fire2, pk(j // 4), _NONE)
+        return kt.astype(kind.dtype), kc.astype(kind.dtype)
+
+    @staticmethod
+    def _extend_arrs(arrs, kt, kc):
+        """Interleave the sampled noise-slot kinds into a 3x-length tape:
+        position 3g = real gate, 3g+1 = Pauli-on-target slot, 3g+2 =
+        Pauli-on-control slot (NONE when the draw didn't fire)."""
+        kind, tq, cq, slot = arrs
+        e, g = kind.shape
+        neg1 = jnp.full_like(kind, -1)
+        ext_kind = jnp.stack([kind, kt, kc], axis=-1).reshape(e, 3 * g)
+        ext_tq = jnp.stack([tq, tq, jnp.maximum(cq, 0)],
+                           axis=-1).reshape(e, 3 * g)
+        ext_cq = jnp.stack([cq, neg1, neg1], axis=-1).reshape(e, 3 * g)
+        ext_slot = jnp.stack([slot, neg1, neg1], axis=-1).reshape(e, 3 * g)
+        return ext_kind, ext_tq, ext_cq, ext_slot
+
     def _fused_step_pallas(self, psi0_ri, old_arrs, x0, active, new_arrs,
                            map_idx, key):
         """(E, ...) batched fused step through the Pallas kernels.
@@ -288,6 +335,12 @@ class AngleOptimizer:
         psi0_ri: (re, im) each (D,); old/new_arrs: tuples of (E, G) int32;
         x0/active/map_idx: (E, R); key: PRNGKey.
         Returns (x_opt (E, R), e_new (E,)).
+
+        Noise modes ride the same kernels: depolarizing trajectories are
+        *tape extensions* (sampled Pauli error gates in reserved noise
+        slots, re-drawn every Adam iteration — one realization shared by
+        the S starts of a replica, fresh ones across iterations/replicas);
+        shot mode adds the Gaussian per-term term to the exact energy.
         """
         from tensorrl_qas_tpu.ops.pallas_apply import apply_tape_pallas_ri
 
@@ -299,19 +352,36 @@ class AngleOptimizer:
         im_b = jnp.broadcast_to(im0, (e_env, s, d))
         re_1 = jnp.broadcast_to(re0, (e_env, 1, d))
         im_1 = jnp.broadcast_to(im0, (e_env, 1, d))
-        kn, ko = jax.random.split(key)
+        kn, ko, knz = jax.random.split(key, 3)
 
         noise = jax.random.normal(kn, (e_env, s, x0.shape[-1]),
                                   dtype=x0.dtype) * self.restart_scale
         noise = noise.at[:, 0, :].set(0.0)
         starts = (x0[:, None, :] + noise) * active[:, None, :]
 
-        def energy_sum(xb, arrs, re_in, im_in):
+        def energy_once(xb, arrs, re_in, im_in, k):
+            if self.noise_mode == "depolarizing":
+                kt, kc = self._sample_noise_kinds(arrs[0], k)
+                arrs = self._extend_arrs(arrs, kt, kc)
             ore, oim = apply_tape_pallas_ri(re_in, im_in, *arrs, xb,
                                             self.pallas_interpret)
             psi = (ore + 1j * oim).astype(self.dtype)
             ev = pauli_expectation(psi.reshape(-1, d), *self.pauli)
-            ev = ev.reshape(xb.shape[0], xb.shape[1])
+            return ev.reshape(xb.shape[0], xb.shape[1])
+
+        def energy_sum(xb, arrs, re_in, im_in, k):
+            if self.noise_mode == "depolarizing" and self.n_traj > 1:
+                ev = jnp.mean(jnp.stack(
+                    [energy_once(xb, arrs, re_in, im_in,
+                                 jax.random.fold_in(k, t))
+                     for t in range(self.n_traj)]), axis=0)
+            else:
+                ev = energy_once(xb, arrs, re_in, im_in, k)
+            if self.noise_mode == "shot" and self.n_shots:
+                w = jnp.asarray(self.pauli[0])
+                eps_n = jax.random.normal(k, ev.shape + (w.shape[0],),
+                                          dtype=w.dtype)
+                ev = ev + (eps_n @ w) * (self.n_shots ** -0.5)
             return jnp.sum(ev), ev
 
         val_and_grad = jax.value_and_grad(energy_sum, has_aux=True)
@@ -320,7 +390,8 @@ class AngleOptimizer:
 
         def step(carry, i):
             x, m, v, best_x, best_e = carry
-            (_, ev), g = val_and_grad(x, old_arrs, re_b, im_b)
+            (_, ev), g = val_and_grad(x, old_arrs, re_b, im_b,
+                                      jax.random.fold_in(knz, i))
             g = g * act_b
             better = ev < best_e
             best_x = jnp.where(better[..., None], x, best_x)
@@ -337,7 +408,8 @@ class AngleOptimizer:
                 starts, jnp.full((e_env, s), jnp.inf, x0.dtype))
         (x, _, _, best_x, best_e), _ = jax.lax.scan(
             step, init, jnp.arange(self.iters))
-        (_, ev), _ = val_and_grad(x, old_arrs, re_b, im_b)
+        (_, ev), _ = val_and_grad(x, old_arrs, re_b, im_b,
+                                  jax.random.fold_in(knz, self.iters))
         better = ev < best_e
         best_x = jnp.where(better[..., None], x, best_x)
         best_e = jnp.where(better, ev, best_e)
@@ -348,7 +420,8 @@ class AngleOptimizer:
         x_new = jnp.where(map_idx >= 0,
                           jnp.take_along_axis(
                               x_opt, jnp.maximum(map_idx, 0), axis=1), 0.0)
-        _, e_new = energy_sum(x_new[:, None, :], new_arrs, re_1, im_1)
+        _, e_new = energy_sum(x_new[:, None, :], new_arrs, re_1, im_1,
+                              jax.random.fold_in(knz, self.iters + 1))
         return x_opt, e_new[:, 0]
 
     def fused_step_batch(self, psi0, old_arrs_b, x0_b, n_active_b,
@@ -364,7 +437,10 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        engine = self._pick_engine() if self.use_pallas else "off"
+        # single-launch mega-kernels are noiseless-only; noise modes use the
+        # composed kernels (per-iteration sampled tape extension)
+        engine = (self._pick_engine()
+                  if self.use_pallas and self.noise_mode == "none" else "off")
         if engine in ("v1", "v2"):
             # single-launch path: the whole multi-start Adam runs inside
             # one Pallas kernel (ops/pallas_opt.py or pallas_opt2d.py)

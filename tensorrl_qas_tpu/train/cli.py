@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay train steps per vectorized iteration (the "
                         "reference's sequential loop replays once per env "
                         "step; with N replicas, N keeps that data ratio)")
+    p.add_argument("--eps_per_step", type=int, default=1,
+                   help="vectorized mode: rescale epsilon_decay so epsilon "
+                        "follows the reference's per-env-step schedule "
+                        "(DeepQ.py:134-137) regardless of replica count")
     return p
 
 
@@ -119,7 +123,8 @@ def main(argv=None) -> int:
         total = args.total_steps or episodes * env_cfg.num_layers
         summary = train_vectorized(venv, agent, conf, args.seed, output_path,
                                    total_env_steps=total,
-                                   replays_per_iter=args.replays_per_iter)
+                                   replays_per_iter=args.replays_per_iter,
+                                   eps_per_step=bool(args.eps_per_step))
         print(json.dumps(summary), flush=True)
         return 0
 

@@ -79,15 +79,25 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                      output_path: str, total_env_steps: int,
                      replays_per_iter: int = 1, verbose: bool = True,
                      loss_fetch_every: int = 10,
-                     summary_save_every: int = 200) -> dict:
+                     summary_save_every: int = 200,
+                     eps_per_step: bool = True) -> dict:
     """Run vectorized training for a fixed env-step budget.
 
     Produces the same artifact set as the sequential driver: the
     reference-schema ``summary_<seed>.npy`` (per-episode stats, completion
     order), the ``events_<seed>.jsonl`` stream, and checkpoints. Returns
     summary stats (episodes finished, best error, steps/sec).
+
+    ``eps_per_step``: the reference decays epsilon once per env step (one
+    replay call per step, ``agents/DeepQ.py:134-137``); the vectorized loop
+    makes ``replays_per_iter`` replay calls per B env steps, so the config's
+    ``epsilon_decay`` is rescaled to ``decay ** (B / replays_per_iter)`` to
+    keep the reference's per-env-step exploration schedule.
     """
     saver = Saver(output_path, seed)
+    if eps_per_step:
+        agent.epsilon_decay = float(
+            agent.epsilon_decay ** (venv.n_envs / max(1, replays_per_iter)))
     batch_size = conf["agent"]["batch_size"]
     b = venv.n_envs
     ep_bufs = _EpisodeBuffers(b)

@@ -105,8 +105,8 @@ def test_act_batch_respects_masks():
 
 
 def test_vector_env_noise_mode():
-    """Vectorized stepping with depolarizing noise (XLA batched path; the
-    pallas kernel auto-disables for noisy evaluation)."""
+    """Vectorized stepping with depolarizing noise on the XLA batched path
+    (the kernel path is covered by tests/test_noise_pallas.py)."""
     venv = VectorCircuitEnv(make_cfg(noise_mode="depolarizing",
                                      use_pallas="off"), n_envs=2)
     venv.reset_all()
