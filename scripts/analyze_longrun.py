@@ -1,0 +1,133 @@
+"""Extract published-table metrics from a training summary.
+
+The reference's headline table (image/result1.png, BASELINE.md) reports,
+per problem x method, the error |E - E_min| and the depth / CNOT / ROT
+counts of the discovered circuit.  This reconstructs those from the
+``summary_<seed>.npy`` artifact: every episode's action-id sequence is
+replayed through the same placement logic as ``CircuitEnv.step_begin``
+(moments bookkeeping; TN embedding first for the in-state modes), and the
+circuit at the best-error step is measured.
+
+Usage:
+  python scripts/analyze_longrun.py results_longrun/TensorRL_fixed/H2O8q_TNbond2 \
+      --seed 1 [--family TensorRL_fixed/ --config H2O8q_TNbond2.cfg]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import numpy as np
+
+from tensorrl_qas_tpu.circuits.actions import action_dictionary
+from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
+from tensorrl_qas_tpu.circuits.tensor_ir import StateTensor, embed_tape
+from tensorrl_qas_tpu.problems.hamiltonians import (
+    resolve_data_file,
+    warmstart_qasm_name,
+)
+from tensorrl_qas_tpu.train.config import get_config
+
+
+def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
+                  zero_params=False):
+    """Replay an episode's action ids into a circuit; return tape stats."""
+    state = StateTensor(num_layers, n)
+    layer_offset = 0
+    if tn_tape is not None:
+        layer_offset = embed_tape(state, tn_tape, zero_params=zero_params)
+    moments = [0] * n
+    for a in action_ids:
+        ctrl, offset, rot_qubit, rot_axis = action_dict[int(a)]
+        targ = (ctrl + offset) % n
+        if ctrl < n:
+            gate_layer = max(moments[ctrl], moments[targ])
+            state.place_cnot(layer_offset + gate_layer, ctrl, targ)
+            m = gate_layer + 1
+            moments[ctrl] = m
+            moments[targ] = m
+        elif rot_qubit < n:
+            gate_layer = moments[rot_qubit]
+            state.place_rotation(layer_offset + gate_layer, rot_axis - 1,
+                                 rot_qubit, 0.0)
+            moments[rot_qubit] += 1
+    cnots, rots, depth = state.gate_counts()
+    return {"depth": depth, "cnots": cnots, "rots": rots}
+
+
+def analyze(summary_path, conf, tn_placement, topology="all_to_all",
+            zero_params=False):
+    n = conf["env"]["num_qubits"]
+    num_layers = conf["env"]["num_layers"]
+    accept_err = conf["env"]["accept_err"]
+    action_dict = action_dictionary(n, topology)
+
+    tn_tape = None
+    if tn_placement == "in_state" and conf["env"].get("tn_init"):
+        qasm = resolve_data_file(warmstart_qasm_name(
+            conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
+            conf["problem"].get("geometry"), conf["problem"].get("mapping")))
+        tn_tape = load_qasm_tape(qasm)
+
+    summary = np.load(summary_path, allow_pickle=True).item()
+    train = summary["train"]
+
+    best = {"error": np.inf}
+    best_done = {"error": np.inf}
+    n_success = 0
+    for ep, rec in train.items():
+        errs = np.asarray(rec["errors"], dtype=float)
+        if errs.size == 0:
+            continue
+        rewards = rec.get("reward", [])
+        success = len(rewards) > 0 and rewards[-1] >= 5.0
+        n_success += int(success)
+        i = int(np.argmin(errs))
+        if errs[i] < best["error"]:
+            best = {"error": float(errs[i]), "episode": int(ep), "step": i,
+                    "actions": rec["actions"][: i + 1]}
+        if success and errs[-1] < best_done["error"]:
+            best_done = {"error": float(errs[-1]), "episode": int(ep),
+                         "step": len(errs) - 1, "actions": rec["actions"]}
+
+    out = {"episodes": len(train), "successes": n_success,
+           "accept_err": accept_err}
+    for name, rec in (("best", best), ("best_done", best_done)):
+        if not np.isfinite(rec["error"]):
+            out[name] = None
+            continue
+        stats = circuit_stats(rec["actions"], n, num_layers, action_dict,
+                              tn_tape, zero_params)
+        out[name] = {"error": rec["error"], "episode": rec["episode"],
+                     "step": rec["step"], **stats}
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("results_dir")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--family", default=None,
+                   help="config family dir (default: parent dir name + /)")
+    p.add_argument("--config", default=None,
+                   help="config file (default: dir name + .cfg)")
+    args = p.parse_args()
+
+    d = pathlib.Path(args.results_dir)
+    family = args.family or d.parent.name + "/"
+    cfg_name = args.config or d.name + ".cfg"
+    conf = get_config(family, cfg_name)
+    tn_placement = "fixed" if "fixed" in family.lower() else "in_state"
+    zero_params = bool(conf["env"].get("zero_param_init", 0))
+
+    out = analyze(d / f"summary_{args.seed}.npy", conf, tn_placement,
+                  zero_params=zero_params)
+    out["family"] = family
+    out["config"] = cfg_name
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
