@@ -65,10 +65,13 @@ class DQN:
         self.memory_reset_counter = 0 if self.memory_reset_switch else False
 
         # observation size: strip angle block, optionally append energy and
-        # threshold scalars (reference ``DeepQ.py:43-46``)
+        # threshold scalars (reference ``DeepQ.py:43-46``); the su4 gate set
+        # carries a (3n+3)-row angle block instead of 3
+        gate_set = env_c.get("gate_set", "cnot")
+        angle_rows = 3 * self.num_qubits + 3 if gate_set == "su4" else 3
         s = state_size
         if not self.with_angles:
-            s -= self.num_layers * self.num_qubits * 3
+            s -= self.num_layers * self.num_qubits * angle_rows
         if agent_c.get("en_state", 0):
             s += 1
         if agent_c.get("threshold_in_state", 0):
@@ -76,9 +79,11 @@ class DQN:
         self.state_size = s
 
         topology = env_c.get("topology", "all_to_all")
-        self.translate = action_dictionary(self.num_qubits, topology)
-        self.rev_translate = action_dictionary(self.num_qubits, topology,
-                                               reverted=True)
+        self.translate = action_dictionary(self.num_qubits, topology,
+                                           gate_set=gate_set)
+        self.rev_translate = (
+            self.translate if gate_set == "su4" else
+            action_dictionary(self.num_qubits, topology, reverted=True))
 
         # per-step discount; the reference rounds to 2 decimals (DeepQ.py:55)
         self.gamma = float(np.round(self.final_gamma ** (1.0 / self.num_layers), 2))

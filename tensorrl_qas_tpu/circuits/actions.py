@@ -83,9 +83,35 @@ def hexagon_actions_reverted(n: int) -> dict[int, list[int]]:
     return _hex_filter(all_to_all_actions_reverted(n), n, set(_HEX_EDGES_REV[n]))
 
 
+def su4_actions(n: int) -> dict[int, list[int]]:
+    """SU(4) gate-set action dictionary (reference's vestigial richer action
+    set, ``environments/VQAs/VQE_qulacs_su4.py``): two-qubit Pauli rotations
+    RXX/RYY/RZZ on every ordered pair replace CNOTs, plus the 3n single-qubit
+    rotations.  A 2q action is ``[ctrl, offset, n, axis]`` with axis 1/2/3 =
+    XX/YY/ZZ (target = (ctrl+offset) % n); 1q actions are unchanged.
+    3n(n-1) + 3n = 3n^2 actions.
+    """
+    out = {}
+    k = 0
+    for c, x, axis in product(range(n), range(1, n), range(1, 4)):
+        out[k] = [c, x, n, axis]
+        k += 1
+    for q, axis in product(range(n), range(1, 4)):
+        out[k] = [n, 0, q, axis]
+        k += 1
+    return out
+
+
 def action_dictionary(n: int, topology: str = "all_to_all",
-                      reverted: bool = False) -> dict[int, list[int]]:
+                      reverted: bool = False,
+                      gate_set: str = "cnot") -> dict[int, list[int]]:
     """Uniform entry point used by envs and agents."""
+    if gate_set == "su4":
+        if topology != "all_to_all":
+            raise ValueError("su4 gate set supports all_to_all topology only")
+        return su4_actions(n)
+    if gate_set != "cnot":
+        raise ValueError(f"unknown gate_set {gate_set!r}")
     if topology == "all_to_all":
         return all_to_all_actions_reverted(n) if reverted else all_to_all_actions(n)
     if topology == "hexagon":

@@ -37,7 +37,11 @@ import numpy as np
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
 from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
-from tensorrl_qas_tpu.circuits.tensor_ir import StateTensor, embed_tape
+from tensorrl_qas_tpu.circuits.tensor_ir import (
+    StateTensor,
+    SU4StateTensor,
+    embed_tape,
+)
 from tensorrl_qas_tpu.envs.curricula import make_curriculum
 from tensorrl_qas_tpu.envs.illegal import IllegalActionTracker
 from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
@@ -77,6 +81,7 @@ class EnvConfig:
     n_traj: int = 1                       # trajectories per noisy energy
     err_mitig: int = 0
     topology: str = "all_to_all"
+    gate_set: str = "cnot"                # 'cnot' | 'su4' (RXX/RYY/RZZ)
     # per-step angle optimization
     optim_method: str | None = "scipy_each_step"
     optim_alg: str = "adam"               # 'adam' | 'cobyla' (reference: COBYLA)
@@ -137,6 +142,7 @@ class EnvConfig:
             n_shots=int(env.get("n_shots", 0)),
             err_mitig=int(env.get("err_mitig", 0)),
             topology=env.get("topology", "all_to_all"),
+            gate_set=env.get("gate_set", "cnot"),
             optim_method=nlo.get("method", None),
             optim_alg=alg,
             global_iters=int(nlo.get("global_iters", 100)),
@@ -198,13 +204,18 @@ class CircuitEnv:
         self.num_layers_termination = cfg.num_layers - self.tn_depth
 
         # --- action space ---------------------------------------------------
-        self.action_dict = action_dictionary(n, cfg.topology)
-        if cfg.topology == "all_to_all":
+        self.action_dict = action_dictionary(n, cfg.topology,
+                                             gate_set=cfg.gate_set)
+        if cfg.gate_set == "su4":
+            self.action_size = 3 * n * n
+            self.state_size = cfg.num_layers * n * (6 * n + 6)
+        elif cfg.topology == "all_to_all":
             self.action_size = n * (n + 2)
+            self.state_size = cfg.num_layers * n * (n + 6)
         else:
             self.action_size = len(action_dictionary(n, cfg.topology,
                                                      reverted=True))
-        self.state_size = cfg.num_layers * n * (n + 6)
+            self.state_size = cfg.num_layers * n * (n + 6)
 
         # --- tape capacities (static shapes: one XLA compile per env) -------
         embedded_rots = (self.tn_tape.n_rots
@@ -215,14 +226,25 @@ class CircuitEnv:
                           else 0)
         max_steps = self.num_layers_termination + 1
         self.tape_capacity = embedded_gates + max_steps
-        self.rot_capacity = embedded_rots + max_steps
+        self.rot_capacity = (self.tape_capacity if cfg.gate_set == "su4"
+                             else embedded_rots + max_steps)
 
         noise_p1, noise_p2 = 0.01, 0.05  # reference VQE_qulacs_noise.py:32,45
         if len(cfg.noise_values) >= 2:
             noise_p1, noise_p2 = cfg.noise_values[0], cfg.noise_values[1]
         # Pallas fused kernels: O(iters) launches instead of
         # O(iters x gates); TPU-only (CPU runs the XLA path), n <= 10
-        if cfg.use_pallas == "on":
+        if cfg.gate_set == "su4":
+            # RXX/RYY/RZZ are outside the kernel gate set
+            # (ops/pallas_apply.py:PALLAS_KINDS_OK); XLA path only
+            use_pallas = False
+            if cfg.noise_mode != "none":
+                raise NotImplementedError(
+                    "su4 gate set is noiseless-only (as in the reference, "
+                    "whose su4 noise variants were never wired)")
+            if cfg.mesh_shape:
+                raise NotImplementedError("su4 gate set is single-chip only")
+        elif cfg.use_pallas == "on":
             use_pallas = True
         elif cfg.use_pallas == "off":
             use_pallas = False
@@ -257,7 +279,8 @@ class CircuitEnv:
                 lr=cfg.adam_lr, restart_scale=cfg.restart_scale,
                 dtype=self.dtype, noise_mode=cfg.noise_mode,
                 noise_p1=noise_p1, noise_p2=noise_p2, n_shots=cfg.n_shots,
-                n_traj=cfg.n_traj, use_pallas=use_pallas)
+                n_traj=cfg.n_traj, use_pallas=use_pallas,
+                enable_2q=cfg.gate_set == "su4")
             # enable the native host engine for the COBYLA parity path
             self.optimizer._pauli_obj = self.problem.pauli
         self._psi0_pair = None   # cached (re, im): stable identity for
@@ -336,7 +359,8 @@ class CircuitEnv:
 
     def reset(self) -> np.ndarray:
         cfg = self.cfg
-        self.state = StateTensor(cfg.num_layers, cfg.num_qubits)
+        state_cls = SU4StateTensor if cfg.gate_set == "su4" else StateTensor
+        self.state = state_cls(cfg.num_layers, cfg.num_qubits)
         self.layer_offset = 0
         if self.tn_tape is not None and cfg.tn_placement == "in_state":
             self.layer_offset = embed_tape(
@@ -389,7 +413,13 @@ class CircuitEnv:
             gate_layer = max(self.moments[ctrl], self.moments[targ])
 
         if ctrl < n:
-            next_state.place_cnot(self.layer_offset + gate_layer, ctrl, targ)
+            if self.cfg.gate_set == "su4":
+                # 2q Pauli rotation: rot_axis 1/2/3 = XX/YY/ZZ
+                next_state.place_two_rotation(self.layer_offset + gate_layer,
+                                              rot_axis - 1, ctrl, targ, 0.0)
+            else:
+                next_state.place_cnot(self.layer_offset + gate_layer, ctrl,
+                                      targ)
             m = max(self.moments[ctrl], self.moments[targ]) + 1
             self.moments[ctrl] = m
             self.moments[targ] = m

@@ -67,7 +67,7 @@ class AngleOptimizer:
                  restart_scale: float = 0.1, dtype=jnp.complex64,
                  noise_mode: str = "none", noise_p1: float = 0.01,
                  noise_p2: float = 0.05, n_shots: int = 0, n_traj: int = 1,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, enable_2q: bool = False):
         self.pauli = pauli_arrays
         self.method = method
         self.iters = iters
@@ -80,7 +80,8 @@ class AngleOptimizer:
         self.noise_p2 = noise_p2
         self.n_shots = n_shots
         self.n_traj = n_traj
-        self.use_pallas = use_pallas
+        self.enable_2q = enable_2q    # RXX/RYY/RZZ (su4 gate set; XLA only)
+        self.use_pallas = use_pallas and not enable_2q
         self.pallas_interpret = False   # tests set True to run on CPU
         # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
         # for 1024 < D <= 4096; 'v1'/'v2' force one (v2 needs D >= 128)
@@ -160,7 +161,7 @@ class AngleOptimizer:
         if self._csim_tried:
             return self._csim
         self._csim_tried = True
-        if self._pauli_obj is None:
+        if self._pauli_obj is None or self.enable_2q:
             return None
         try:
             from tensorrl_qas_tpu import native
@@ -195,7 +196,8 @@ class AngleOptimizer:
                 return one(key)
             return jnp.mean(jax.vmap(one)(jax.random.split(key, self.n_traj)))
 
-        psi = apply_tape(psi0, kind, tq, cq, slot, x)
+        psi = apply_tape(psi0, kind, tq, cq, slot, x,
+                         enable_2q=self.enable_2q)
         e = pauli_expectation(psi, *self.pauli)
         if self.noise_mode == "shot" and self.n_shots:
             e = e + shot_noise(jnp.asarray(self.pauli[0]), self.n_shots, key)

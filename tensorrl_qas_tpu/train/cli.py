@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--topology", choices=["all_to_all", "hexagon"],
                    default=None)
+    p.add_argument("--gate_set", choices=["cnot", "su4"], default=None,
+                   help="su4 = RXX/RYY/RZZ two-qubit rotations instead of "
+                        "CNOTs (the reference's vestigial SU(4) action set)")
     p.add_argument("--optim", choices=["adam", "cobyla"], default=None,
                    help="per-step angle optimizer (default: adam on device)")
     p.add_argument("--results_path", type=str, default="results/")
@@ -102,6 +105,8 @@ def main(argv=None) -> int:
     if args.topology:
         topology = args.topology
     conf["env"]["topology"] = topology
+    if args.gate_set:
+        conf["env"]["gate_set"] = args.gate_set
 
     np.random.seed(args.seed)
 

@@ -1,0 +1,162 @@
+"""SU(4) gate-set mode: action space, state tensor, env, agent.
+
+The reference ships this action set only as unimported simulator code
+(``environments/VQAs/VQE_qulacs_su4.py``) plus stale agent bytecode; here
+it is a first-class env/agent mode (``gate_set='su4'``) with the state
+layout taken from the reference's construct_ansatz scan (rows 0..3n-1 =
+XX/YY/ZZ one-hots [targ, ctrl], 3n..3n+2 = 1q one-hots, matching angle
+rows after).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tensorrl_qas_tpu.circuits.actions import action_dictionary, su4_actions
+from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+from tensorrl_qas_tpu.circuits.tensor_ir import SU4StateTensor, embed_tape
+from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
+
+
+def test_su4_action_dictionary():
+    n = 5
+    d = su4_actions(n)
+    assert len(d) == 3 * n * n
+    two_q = [a for a in d.values() if a[0] < n]
+    one_q = [a for a in d.values() if a[0] == n]
+    assert len(two_q) == 3 * n * (n - 1)
+    assert len(one_q) == 3 * n
+    for a in two_q:
+        assert a[2] == n and a[3] in (1, 2, 3) and 1 <= a[1] < n
+    for a in one_q:
+        assert a[2] < n and a[3] in (1, 2, 3)
+    # entry point + guards
+    assert action_dictionary(n, gate_set="su4") == d
+    with pytest.raises(ValueError):
+        action_dictionary(n, topology="hexagon", gate_set="su4")
+
+
+def test_su4_state_tensor_to_tape_order_and_state():
+    """Within a layer the tape order is XX < YY < ZZ < 1q (reference
+    construct_ansatz scan) and the lowered tape reproduces the statevector
+    of a hand-built tape."""
+    n = 3
+    st = SU4StateTensor(4, n)
+    st.place_two_rotation(0, 2, ctrl=0, targ=1, angle=0.3)   # ZZ(0,1)
+    st.place_two_rotation(0, 0, ctrl=1, targ=2, angle=-0.4)  # XX(1,2)
+    st.place_rotation(0, 1, qubit=0, angle=0.9)              # RY(0)
+    st.place_two_rotation(1, 1, ctrl=2, targ=0, angle=1.1)   # YY(2,0)
+    st.place_rotation(1, 0, qubit=1, angle=-0.2)             # RX(1)
+
+    tape = st.to_tape(8, 8)
+    kinds = [GateKind(k) for k in tape.kind[: tape.n_gates]]
+    assert kinds == [GateKind.RXX, GateKind.RZZ, GateKind.RY,
+                     GateKind.RYY, GateKind.RX]
+    assert tape.n_rots == 5  # every su4 gate is parametric
+
+    ref = GateTape(n, 8, 8)
+    ref.add(GateKind.RXX, target=2, control=1, angle=-0.4)
+    ref.add(GateKind.RZZ, target=1, control=0, angle=0.3)
+    ref.add(GateKind.RY, target=0, angle=0.9)
+    ref.add(GateKind.RYY, target=0, control=2, angle=1.1)
+    ref.add(GateKind.RX, target=1, angle=-0.2)
+
+    psi_a = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, tape.arrays()),
+                       jnp.asarray(tape.x0()))
+    psi_b = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, ref.arrays()),
+                       jnp.asarray(ref.x0()))
+    np.testing.assert_allclose(np.asarray(psi_a), np.asarray(psi_b),
+                               atol=1e-12)
+
+
+def test_su4_embed_round_trip():
+    n = 3
+    tape = GateTape(n, 6, 6)
+    tape.add(GateKind.RXX, target=1, control=0, angle=0.5)
+    tape.add(GateKind.RZ, target=0, angle=-0.3)
+    tape.add(GateKind.RYY, target=2, control=1, angle=0.8)
+    st = SU4StateTensor(6, n)
+    depth = embed_tape(st, tape)
+    assert depth == 2  # XX(0,1), then RZ(0) and YY(1,2) share layer 1
+    out = st.to_tape(8, 8)
+    psi_a = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, out.arrays()),
+                       jnp.asarray(out.x0()))
+    psi_b = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, tape.arrays()),
+                       jnp.asarray(tape.x0()))
+    np.testing.assert_allclose(np.asarray(psi_a), np.asarray(psi_b),
+                               atol=1e-12)
+    # structure-only embedding zeroes angles
+    st0 = SU4StateTensor(6, n)
+    embed_tape(st0, tape, zero_params=True)
+    assert np.all(st0.to_tape(8, 8).x0() == 0.0)
+
+
+def _su4_env(n_starts=2, iters=8):
+    from tensorrl_qas_tpu.envs import CircuitEnv, EnvConfig
+    from tensorrl_qas_tpu.problems.hamiltonians import resolve_data_file
+
+    try:
+        resolve_data_file("mol_data/heisenberg_5q.npz")
+    except FileNotFoundError:
+        pytest.skip("no data")
+    cfg = EnvConfig(
+        num_qubits=5, num_layers=20, ham_type="heisenberg",
+        tn_placement="fixed", tn_init=0, tn_bond=0, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=iters, n_starts=n_starts,
+        sim_dtype="complex128", seed=3, gate_set="su4")
+    return CircuitEnv(cfg)
+
+
+def test_su4_env_end_to_end():
+    env = _su4_env()
+    n = 5
+    assert env.action_size == 3 * n * n
+    obs = env.reset()
+    # state_size is the full (with-angles) encoding; the default observation
+    # strips the (3n+3)-row angle block (agent subtracts the same amount)
+    assert env.state_size == 20 * n * (6 * n + 6)
+    assert obs.shape == (env.state_size - 20 * n * (3 * n + 3),)
+    e0 = env.prev_energy
+
+    acts = env.action_dict
+    # one 2q rotation, one 1q rotation
+    two_q_id = next(k for k, a in acts.items() if a[0] < n)
+    one_q_id = next(k for k, a in acts.items() if a[0] == n)
+    _, r1, d1 = env.step(acts[two_q_id])
+    assert np.isfinite(env.energy)
+    _, r2, d2 = env.step(acts[one_q_id])
+    assert np.isfinite(env.energy)
+    # the optimizer must STRICTLY improve on the empty-circuit energy
+    # (guards the enable_2q wiring: without it the RXX/RYY/RZZ angles are
+    # silently ignored and the energy freezes at e0)
+    assert env.energy < e0 - 1e-6
+    # replaying the exact same action must be masked
+    illegal = env.illegal_action_new()
+    assert one_q_id in illegal
+
+
+def test_su4_agent_wiring():
+    from tensorrl_qas_tpu.agents.dqn import make_agent
+
+    env = _su4_env()
+    conf = {"env": {"num_qubits": 5, "num_layers": 20, "gate_set": "su4"},
+            "agent": {"batch_size": 8, "memory_size": 64, "neurons": [32],
+                      "dropout": 0.0, "learning_rate": 1e-3, "angles": 0,
+                      "en_state": 0, "priotitized_replay": 0,
+                      "update_target_net": 5, "final_gamma": 0.05,
+                      "epsilon_decay": 0.9, "epsilon_min": 0.05,
+                      "agent_class": "DQN"}}
+    agent = make_agent(conf, env.action_size, env.state_size, seed=0)
+    assert agent.translate == env.action_dict
+    obs = env.reset()
+    a, _ = agent.act(obs, illegal=[0, 1, 2])
+    assert 0 <= a < env.action_size and a not in (0, 1, 2)
+    env.step(agent.translate[int(a)])
+    assert np.isfinite(env.energy)
