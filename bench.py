@@ -33,6 +33,7 @@ TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
 SIZES = os.environ.get("BENCH_SIZES", "8,10,12")
+NOISY = int(os.environ.get("BENCH_NOISY", "0"))  # add a noisy 8q row
 
 BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 
@@ -44,7 +45,7 @@ ROWS = {
 }
 
 
-def bench_size(n_qubits: int):
+def bench_size(n_qubits: int, noisy: bool = False):
     import jax
 
     from tensorrl_qas_tpu.agents.dqn import make_agent
@@ -59,7 +60,9 @@ def bench_size(n_qubits: int):
     conf["non_local_opt"]["global_iters"] = GLOBAL_ITERS  # ref: COBYLA 1000
     if FILL_TARGET:
         conf["agent"]["batch_size"] = int(FILL_TARGET)
-    env_cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
+    env_cfg = EnvConfig.from_conf(
+        conf, tn_placement="fixed", seed=0,
+        noise_mode="depolarizing" if noisy else None)
     venv = VectorCircuitEnv(env_cfg, n_envs=n_envs)
     # safety: if the Pallas mega-kernel fails to compile on this platform,
     # fall back to the XLA path rather than failing the bench
@@ -108,7 +111,8 @@ def bench_size(n_qubits: int):
     steps_per_sec = n_steps / dt
     import jax as _jax
 
-    print(f"# {n_qubits}q {cfg_name}: n_envs={venv.n_envs}, warmup "
+    tag = f"{n_qubits}q{'+depol' if noisy else ''}"
+    print(f"# {tag} {cfg_name}: n_envs={venv.n_envs}, warmup "
           f"{warmup_s:.1f}s, timed {n_steps} steps in {dt:.2f}s, "
           f"{steps_per_sec:.1f} steps/s "
           f"({steps_per_sec / baseline:.1f}x baseline), "
@@ -126,13 +130,19 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"# {n}q bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+    if NOISY:
+        try:
+            results["8q_depol"] = bench_size(8, noisy=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# noisy bench failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
     if 8 not in results:
         return 1
     sps8, base8 = results[8]
     extra = {
-        f"{n}q": {"steps_per_sec": round(results[n][0], 3),
-                  "vs_modeled_baseline": round(results[n][0] / results[n][1],
-                                               2)}
+        (f"{n}q" if isinstance(n, int) else n):
+        {"steps_per_sec": round(results[n][0], 3),
+         "vs_modeled_baseline": round(results[n][0] / results[n][1], 2)}
         for n in results if n != 8
     }
     out = {

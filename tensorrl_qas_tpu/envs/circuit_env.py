@@ -79,6 +79,8 @@ class EnvConfig:
     noise_values: tuple = ()
     n_shots: int = 0
     n_traj: int = 1                       # trajectories per noisy energy
+    noise_resample: str = "iter"          # 'iter' (reference parity) |
+    #                                       'step' (quenched; mega-kernel)
     err_mitig: int = 0
     topology: str = "all_to_all"
     gate_set: str = "cnot"                # 'cnot' | 'su4' (RXX/RYY/RZZ)
@@ -140,6 +142,7 @@ class EnvConfig:
             noise_mode=noise_mode,
             noise_values=vals,
             n_shots=int(env.get("n_shots", 0)),
+            noise_resample=env.get("noise_resample", "iter"),
             err_mitig=int(env.get("err_mitig", 0)),
             topology=env.get("topology", "all_to_all"),
             gate_set=env.get("gate_set", "cnot"),
@@ -281,6 +284,7 @@ class CircuitEnv:
                 noise_p1=noise_p1, noise_p2=noise_p2, n_shots=cfg.n_shots,
                 n_traj=cfg.n_traj, use_pallas=use_pallas,
                 enable_2q=cfg.gate_set == "su4")
+            self.optimizer.noise_resample = cfg.noise_resample
             # enable the native host engine for the COBYLA parity path
             self.optimizer._pauli_obj = self.problem.pauli
         self._psi0_pair = None   # cached (re, im): stable identity for

@@ -82,6 +82,14 @@ class AngleOptimizer:
         self.n_traj = n_traj
         self.enable_2q = enable_2q    # RXX/RYY/RZZ (su4 gate set; XLA only)
         self.use_pallas = use_pallas and not enable_2q
+        # depolarizing sampling cadence on the pallas paths:
+        # 'iter' (default) re-draws the trajectory every Adam iteration
+        # (reference semantics: qulacs re-samples per COBYLA nfev) and runs
+        # the composed kernels; 'step' quenches ONE realization per env
+        # step into the extended tape, unlocking the single-launch
+        # mega-kernels for noisy training (the optimizer then sees a fixed
+        # sampled circuit; the post-action energy uses a fresh draw).
+        self.noise_resample = "iter"
         self.pallas_interpret = False   # tests set True to run on CPU
         # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
         # for 1024 < D <= 4096; 'v1'/'v2' force one (v2 needs D >= 128)
@@ -439,10 +447,25 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        # single-launch mega-kernels are noiseless-only; noise modes use the
-        # composed kernels (per-iteration sampled tape extension)
+        # mega engines serve noiseless runs and (opt-in) quenched-trajectory
+        # depolarizing runs; everything else uses the composed kernels
+        mega_ok = self.noise_mode == "none" or (
+            self.noise_mode == "depolarizing"
+            and self.noise_resample == "step" and self.n_traj == 1)
         engine = (self._pick_engine()
-                  if self.use_pallas and self.noise_mode == "none" else "off")
+                  if self.use_pallas and mega_ok else "off")
+        if engine in ("v1", "v2") and self.noise_mode == "depolarizing":
+            # quench one trajectory per env step into the tapes; the
+            # extended arrays ride the normal mega path (X/Y/Z are in the
+            # kernel gate set, slot = -1 keeps them out of the gradient)
+            kq = jax.random.fold_in(keys[0] if keys.ndim > 1 else keys, 7)
+            k_old, k_new = jax.random.split(kq)
+            old_arrs_b = tuple(map(jnp.asarray, old_arrs_b))
+            new_arrs_b = tuple(map(jnp.asarray, new_arrs_b))
+            old_arrs_b = self._extend_arrs(
+                old_arrs_b, *self._sample_noise_kinds(old_arrs_b[0], k_old))
+            new_arrs_b = self._extend_arrs(
+                new_arrs_b, *self._sample_noise_kinds(new_arrs_b[0], k_new))
         if engine in ("v1", "v2"):
             # single-launch path: the whole multi-start Adam runs inside
             # one Pallas kernel (ops/pallas_opt.py or pallas_opt2d.py)

@@ -226,6 +226,59 @@ def test_vector_env_noise_through_kernels():
     assert venv.envs[0].error == venv.envs[0].error_noiseless
 
 
+def test_mega_kernel_quenched_trajectory():
+    """noise_resample='step' quenches one sampled trajectory per env step
+    into the extended tape and runs the single-launch mega-kernel."""
+    n = 3
+    tape = _test_tape(n)
+    ps = PauliSum.from_strings(["ZII", "IZI", "IIZ", "XXI", "IYY"],
+                               [1.0, 0.5, -0.7, 0.9, 1.3], n)
+    arrs_b = tuple(np.asarray(a)[None] for a in tape.arrays())
+    x0_b = tape.x0().astype(np.float32)[None]
+    map_idx = np.arange(x0_b.shape[1], dtype=np.int32)[None]
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(21), 1)
+
+    opt = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                         n_starts=3, dtype=jnp.complex64,
+                         noise_mode="depolarizing", noise_p1=0.3,
+                         noise_p2=0.5, use_pallas=True)
+    opt.noise_resample = "step"
+    opt.pallas_interpret = True
+    opt._pauli_obj = ps
+    assert opt._pick_engine() == "v1"   # mega engine available at D=8
+
+    x2, e2, _ = opt.fused_step_batch(psi0_ri, arrs_b, x0_b, [tape.n_rots],
+                                     arrs_b, map_idx, keys)
+    assert np.isfinite(e2).all()
+    # high noise probabilities: the reported post-action energy comes from
+    # a sampled trajectory, so it should (almost surely, with these fixed
+    # keys) DIFFER from the exact noiseless energy at the same angles
+    clean = AngleOptimizer(ps.device_arrays(jnp.complex64))
+    ec = clean.energy(psi0_ri, tuple(map(jnp.asarray, tape.arrays())), x2[0])
+    assert abs(float(e2[0]) - ec) > 1e-6
+    # and with zero probabilities the quenched path must equal noiseless
+    opt0 = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                          n_starts=3, dtype=jnp.complex64,
+                          noise_mode="depolarizing", noise_p1=0.0,
+                          noise_p2=0.0, use_pallas=True)
+    opt0.noise_resample = "step"
+    opt0.pallas_interpret = True
+    opt0._pauli_obj = ps
+    optc = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                          n_starts=3, dtype=jnp.complex64, use_pallas=True)
+    optc.pallas_interpret = True
+    optc._pauli_obj = ps
+    xq, eq, _ = opt0.fused_step_batch(psi0_ri, arrs_b, x0_b, [tape.n_rots],
+                                      arrs_b, map_idx, keys)
+    xn, en, _ = optc.fused_step_batch(psi0_ri, arrs_b, x0_b, [tape.n_rots],
+                                      arrs_b, map_idx, keys)
+    assert eq[0] == pytest.approx(en[0], abs=1e-5)
+    np.testing.assert_allclose(xq, xn, atol=1e-5)
+
+
 def test_fused_step_batch_shot_pallas():
     """Shot mode through the kernels: huge n_shots ==> noiseless energies."""
     n = 3
