@@ -51,6 +51,9 @@ def main() -> int:
     p.add_argument("--from-npz", type=str, default=None,
                    help="use paulis/weights from an existing .npz")
     p.add_argument("--out", type=str, default="data")
+    p.add_argument("--basis", choices=["cnot", "su4"], default="cnot",
+                   help="warm-start gate basis: 3 CNOTs/brick vs "
+                        "RXX/RYY/RZZ (the reference driver's SU4 flag)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -106,9 +109,11 @@ def main() -> int:
 
     res = build_warmstart(paulis, weights, chi=args.tn_bond,
                           n_layers=args.layers, maxiter=args.maxiter,
-                          seed=args.seed)
+                          seed=args.seed, basis=args.basis)
     qasm_rel = warmstart_qasm_name(args.ham, args.qubits, args.tn_bond,
                                    args.geometry, args.mapping)
+    if args.basis == "su4":
+        qasm_rel = qasm_rel.replace(".qasm", "_su4.qasm")
     qasm_path = out / qasm_rel
     qasm_path.write_text(res.qasm)
     print(f"wrote {qasm_path}")

@@ -315,3 +315,82 @@ def decompose_su4(u: np.ndarray, q0: int, q1: int, atol: float = 5e-7):
     if err > atol:
         raise ValueError(f"decomposition verification failed: |T-U| = {err:.2e}")
     return gates, total_phase
+
+
+# -- SU(4)-basis synthesis (RXX/RYY/RZZ instead of 3 CNOTs) -----------------
+
+def _rpp(pauli2, t):
+    """exp(-i t (P (x) P) / 2) as a 4x4 matrix."""
+    return np.cos(t / 2) * np.eye(4) - 1j * np.sin(t / 2) * pauli2
+
+
+def decompose_su4_pauli(u: np.ndarray, q0: int, q1: int, atol: float = 5e-7):
+    """Lower a 4x4 unitary to the SU(4) action gate set.
+
+    The reference's stage-1 driver can emit rxx/ryy/rzz-basis warm-start
+    circuits (``dmrg-to-qc/dmrg_to_qc.py:203-206, 239``).  Here that drops
+    straight out of the Weyl factorization U = phase * L @ A @ R: the
+    canonical factor A commutes with {XX, YY, ZZ} (all diagonal in the
+    magic basis), so its phase vector is a linear system in the three
+    interaction angles, and A = e^{i d} RXX(tx) RYY(ty) RZZ(tz) exactly —
+    no 3-CNOT template needed.
+
+    Returns (gates, phase): ('rz'/'ry', qubit, angle) and
+    ('rxx'/'ryy'/'rzz', q0, q1, angle) tuples in application order.
+    """
+    import itertools
+
+    u = closest_unitary(np.asarray(u, dtype=complex))
+    alpha, left, a, right, phases = _weyl_factor(u)
+
+    xx, yy, zz = kron(_X, _X), kron(_Y, _Y), kron(_Z, _Z)
+    sigs = [np.real(np.diag(_B.conj().T @ m @ _B)) for m in (xx, yy, zz)]
+    # phases_k = d - (tx s1k + ty s2k + tz s3k)/2  (mod 2pi)
+    m4 = np.column_stack([np.ones(4)] + [-0.5 * s for s in sigs])
+    sol = None
+    for ks in itertools.product((0, 1, -1, 2), repeat=3):
+        rhs = phases + 2 * np.pi * np.array([0, *ks])
+        cand = np.linalg.solve(m4, rhs)
+        d, tx, ty, tz = cand
+        a_try = np.exp(1j * d) * (_rpp(xx, tx) @ _rpp(yy, ty) @ _rpp(zz, tz))
+        if np.linalg.norm(a_try - a) < 1e-9:
+            sol = cand
+            break
+    if sol is None:
+        raise ValueError("su4-basis phase solve failed")
+    d, tx, ty, tz = sol
+
+    gates = []
+    total_phase = np.angle(alpha) + d
+
+    def add_local(mat4):
+        nonlocal total_phase
+        a_mat, b_mat = su2_kron_factor(mat4)
+        approx = kron(a_mat, b_mat)
+        total_phase += np.angle(np.vdot(approx.reshape(-1),
+                                        mat4.reshape(-1)))
+        for mat, qubit in ((b_mat, q0), (a_mat, q1)):
+            gs, ph = _gates_for_1q(mat, qubit)
+            gates.extend(gs)
+            total_phase += ph
+
+    add_local(right)
+    gates.append(("rzz", q0, q1, tz))
+    gates.append(("ryy", q0, q1, ty))
+    gates.append(("rxx", q0, q1, tx))
+    add_local(left)
+
+    # verify against the input
+    m = np.eye(4, dtype=complex)
+    two_q = {"rxx": xx, "ryy": yy, "rzz": zz}
+    for g in gates:
+        if g[0] in two_q:
+            m = _rpp(two_q[g[0]], g[3]) @ m
+        else:
+            one = {"rz": rz, "ry": ry}[g[0]](g[2])
+            m = (kron(one, _I) if g[1] == q1 else kron(_I, one)) @ m
+    m = m * np.exp(1j * total_phase)
+    err = np.linalg.norm(m - u)
+    if err > atol:
+        raise ValueError(f"su4-basis verification failed: |T-U| = {err:.2e}")
+    return gates, total_phase

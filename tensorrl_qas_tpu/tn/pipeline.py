@@ -22,7 +22,7 @@ from tensorrl_qas_tpu.circuits.qasm import dump_qasm
 from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
 from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
 from tensorrl_qas_tpu.sim.expectation import PauliSum, pauli_expectation
-from tensorrl_qas_tpu.synth.kak import decompose_su4
+from tensorrl_qas_tpu.synth.kak import decompose_su4, decompose_su4_pauli
 from tensorrl_qas_tpu.tn.circuit_fit import circuit_state, fit_mps_to_circuit
 from tensorrl_qas_tpu.tn.dmrg import gs_dmrg, gs_exact_diag
 from tensorrl_qas_tpu.tn.mpo import mpo_from_paulis
@@ -46,17 +46,25 @@ class WarmStartResult:
 
 
 def su4_circuit_to_tape(params, pairs, n_qubits: int,
-                        atol: float = 5e-7) -> GateTape:
-    """Lower a list of SU(4) gates to a native-gate tape via KAK."""
+                        atol: float = 5e-7, basis: str = "cnot") -> GateTape:
+    """Lower a list of SU(4) gates to a native-gate tape via KAK.
+
+    ``basis='cnot'`` emits 3 CNOTs + rotations per brick; ``'su4'`` emits
+    RXX/RYY/RZZ + local rotations (the reference's ``SU4`` stage-1 flag,
+    ``dmrg-to-qc/dmrg_to_qc.py:203-206``)."""
+    lower = decompose_su4 if basis == "cnot" else decompose_su4_pauli
+    two_q = {"rxx": GateKind.RXX, "ryy": GateKind.RYY, "rzz": GateKind.RZZ}
     gates = []
     for u, (q_hi, q_lo) in zip(params, pairs):
-        gs, _ = decompose_su4(np.asarray(u), q0=q_lo, q1=q_hi, atol=atol)
+        gs, _ = lower(np.asarray(u), q0=q_lo, q1=q_hi, atol=atol)
         gates.extend(gs)
     n_rot = sum(1 for g in gates if g[0] != "cx")
     tape = GateTape(n_qubits, max(len(gates), 1), max(n_rot, 1))
     for g in gates:
         if g[0] == "cx":
             tape.add_cx(g[1], g[2])
+        elif g[0] in two_q:
+            tape.add(two_q[g[0]], target=g[2], control=g[1], angle=g[3])
         else:
             tape.add({"rx": GateKind.RX, "ry": GateKind.RY,
                       "rz": GateKind.RZ}[g[0]], target=g[1], angle=g[2])
@@ -65,8 +73,8 @@ def su4_circuit_to_tape(params, pairs, n_qubits: int,
 
 def build_warmstart(paulis, weights, chi: int, n_layers: int,
                     maxiter: int = 2000, lr: float = 1e-2, seed: int = 0,
-                    dmrg_sweeps: int = 6,
-                    check_exact: bool = True) -> WarmStartResult:
+                    dmrg_sweeps: int = 6, check_exact: bool = True,
+                    basis: str = "cnot") -> WarmStartResult:
     n = len(paulis[0])
     ps = PauliSum.from_strings(paulis, weights, n)
     mpo = mpo_from_paulis(paulis, weights)
@@ -91,10 +99,10 @@ def build_warmstart(paulis, weights, chi: int, n_layers: int,
     psi_fit = circuit_state(jnp.asarray(params), pairs, n)
     e_fit = float(pauli_expectation(psi_fit, *dev))
 
-    tape = su4_circuit_to_tape(params, pairs, n)
+    tape = su4_circuit_to_tape(params, pairs, n, basis=basis)
     psi_tape = apply_tape(zero_state(n, jnp.complex128),
                           *map(jnp.asarray, tape.arrays()),
-                          jnp.asarray(tape.x0()))
+                          jnp.asarray(tape.x0()), enable_2q=basis == "su4")
     e_circ = float(pauli_expectation(psi_tape, *dev))
     if abs(e_circ - e_fit) > 1e-6:
         raise RuntimeError(

@@ -160,3 +160,32 @@ def test_su4_agent_wiring():
     assert 0 <= a < env.action_size and a not in (0, 1, 2)
     env.step(agent.translate[int(a)])
     assert np.isfinite(env.energy)
+
+
+def test_su4_basis_synthesis_matches_cnot_basis():
+    """decompose_su4_pauli: same unitary as the CNOT-basis synthesis, via
+    3 RXX/RYY/RZZ rotations + locals (reference dmrg_to_qc.py SU4 flag)."""
+    from scipy.stats import unitary_group
+
+    from tensorrl_qas_tpu.tn.pipeline import su4_circuit_to_tape
+
+    rng = np.random.default_rng(5)
+    n = 3
+    params = [unitary_group.rvs(4, random_state=rng) for _ in range(2)]
+    pairs = [(1, 0), (2, 1)]   # (q_hi, q_lo)
+
+    t_cnot = su4_circuit_to_tape(params, pairs, n, basis="cnot")
+    t_su4 = su4_circuit_to_tape(params, pairs, n, basis="su4")
+    assert t_cnot.cnot_count == 6
+    assert t_su4.cnot_count == 0
+    assert t_su4.gate_count(GateKind.RXX) == 2
+
+    psi_a = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, t_cnot.arrays()),
+                       jnp.asarray(t_cnot.x0()))
+    psi_b = apply_tape(zero_state(n, jnp.complex128),
+                       *map(jnp.asarray, t_su4.arrays()),
+                       jnp.asarray(t_su4.x0()), enable_2q=True)
+    # same state up to global phase
+    ov = abs(np.vdot(np.asarray(psi_a), np.asarray(psi_b)))
+    assert ov == pytest.approx(1.0, abs=1e-9)
