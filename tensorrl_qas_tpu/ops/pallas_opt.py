@@ -38,9 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tensorrl_qas_tpu.ops.pallas_apply import (
+    _CX,
     _RX,
     _RY,
     _RZ,
+    _X,
     _apply_u,
     _gate_coeffs,
     _masks,
@@ -50,12 +52,21 @@ from tensorrl_qas_tpu.ops.pallas_apply import (
 
 
 def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
-                 eps: float = 1e-8):
+                 eps: float = 1e-8, noise=None):
+    """``noise=(p1, p2)`` compiles the depolarizing-trajectory variant: the
+    TPU PRNG re-draws a per-gate Pauli-error realization every Adam
+    iteration (reference semantics: qulacs re-samples per COBYLA
+    evaluation) — noisy training in the same single launch."""
     def kernel(okind, otq, ocq, oslot, nkind, ntq, ncq, nslot, mapidx,
-               p0re_ref, p0im_ref, hre_t_ref, him_t_ref, starts_ref,
-               active_ref,
-               xopt_ref, enew_ref,
-               x_s, m_s, v_s, bx_s, be_s, pr_s, pi_s, lr_s, li_s):
+               *rest):
+        if noise is not None:
+            (seeds, p0re_ref, p0im_ref, hre_t_ref, him_t_ref, starts_ref,
+             active_ref, xopt_ref, enew_ref,
+             x_s, m_s, v_s, bx_s, be_s, pr_s, pi_s, lr_s, li_s, nz_s) = rest
+        else:
+            (p0re_ref, p0im_ref, hre_t_ref, him_t_ref, starts_ref,
+             active_ref, xopt_ref, enew_ref,
+             x_s, m_s, v_s, bx_s, be_s, pr_s, pi_s, lr_s, li_s) = rest
         e = pl.program_id(0)
         s_batch, d = pr_s.shape
         r = x_s.shape[-1]
@@ -70,6 +81,69 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
             th = _mm(xmat, onehot)
             return jnp.where(s >= 0, th, jnp.float32(0.0))
 
+        # -- depolarizing-trajectory machinery (static: compiled out when
+        # noise is None) ---------------------------------------------------
+        if noise is not None:
+            p1, p2 = noise
+            g_pad = nz_s.shape[-1]
+            g_iota = lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
+
+            def draw_noise(tag):
+                """Fill nz_s rows: 0 = uniform, 1 = code in 1..3 (1q
+                channel), 2 = code in 1..15 (2q channel)."""
+                # Mosaic supports at most 2 seed words: fold the tag into
+                # word 0 with a golden-ratio hash
+                tag32 = jnp.asarray(tag, jnp.int32)
+                pltpu.prng_seed(
+                    seeds[e, 0] ^ (tag32 * jnp.int32(-1640531527)),
+                    seeds[e, 1])
+                bits = pltpu.prng_random_bits((8, g_pad))
+                u = lax.shift_right_logical(
+                    bits, jnp.asarray(8, bits.dtype)).astype(jnp.float32) \
+                    * jnp.float32(1.0 / (1 << 24))
+                nz_s[0:1] = u[0:1]
+                nz_s[1:2] = jnp.minimum(jnp.floor(u[1:2] * 3.0), 2.0) + 1.0
+                nz_s[2:3] = jnp.minimum(jnp.floor(u[2:3] * 15.0), 14.0) + 1.0
+
+            def noise_kinds(g, k):
+                """Sampled error-gate kinds after gate g: (k_t, k_c) as
+                (1, 1) f32 gate-kind codes (0 = none)."""
+                sel = (g_iota == g).astype(jnp.float32)        # (g_pad, 1)
+                u_g = _mm(nz_s[0:1], sel)
+                c3 = _mm(nz_s[1:2], sel)
+                c15 = _mm(nz_s[2:3], sel)
+                is_rot = (k >= _RX) & (k <= _RZ)
+                is_cx = k == _CX
+                fire1 = is_rot & (u_g < p1)
+                fire2 = is_cx & (u_g < p2)
+                ct = c15 - 4.0 * jnp.floor(c15 * 0.25)         # c15 mod 4
+                cc = jnp.floor(c15 * 0.25)                     # c15 div 4
+                code_t = jnp.where(fire1, c3,
+                                   jnp.where(fire2, ct, 0.0))
+                code_c = jnp.where(fire2, cc, 0.0)
+                to_kind = lambda cd: jnp.where(  # noqa: E731
+                    cd > 0.0, (_X - 1.0) + cd, 0.0)
+                return to_kind(code_t), to_kind(code_c)
+
+            def apply_noise(g, k, t, c, re, im, transform=None):
+                """Apply (a transform of) the sampled error Paulis for
+                gate g.  Paulis are Hermitian so U^H = U; ``transform``
+                'T' swaps off-diagonals (for the cotangent)."""
+                k_t, k_c = noise_kinds(g, k)
+                for kk, q in ((k_t, t), (k_c, jnp.maximum(c, 0))):
+                    cf = _gate_coeffs(kk, jnp.float32(0.0))
+                    if transform == "T":
+                        (u00r, u00i, u01r, u01i, u10r, u10i,
+                         u11r, u11i) = cf
+                        cf = (u00r, u00i, u10r, u10i, u01r, u01i,
+                              u11r, u11i)
+                    b, act = _masks(q, jnp.int32(-1), col)
+                    re, im, _, _ = _apply_u(re, im, cf, q, b, act)
+                return re, im
+        else:
+            def apply_noise(g, k, t, c, re, im, transform=None):
+                return re, im
+
         def forward(tape, xmat, re0, im0):
             kind_r, tq_r, cq_r, slot_r = tape
 
@@ -82,6 +156,7 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 coeffs = _gate_coeffs(k, theta_of(xmat, s))
                 b, act = _masks(t, c, col)
                 nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
+                nre, nim = apply_noise(g, k, t, c, nre, nim)
                 return (nre, nim)
 
             return lax.fori_loop(0, n_gates, gate, (re0, im0))
@@ -107,6 +182,10 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 t = tq_r[e, g]
                 c = cq_r[e, g]
                 s = slot_r[e, g]
+                # undo this gate's sampled error Paulis first (Hermitian:
+                # U^H = U) and bring the cotangent to the post-gate point
+                re, im = apply_noise(g, k, t, c, re, im)
+                lre, lim = apply_noise(g, k, t, c, lre, lim, transform="T")
                 (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
                     _gate_coeffs(k, theta_of(xmat, s))
                 b, act = _masks(t, c, col)
@@ -149,6 +228,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
         be_s[:] = jnp.full_like(be_s, jnp.inf)
 
         def adam_iter(it, _):
+            if noise is not None:
+                draw_noise(it)
             x = x_s[:]
             re, im = forward(old_tape, x, re0, im0)
             hre, him = h_apply(re, im)
@@ -175,6 +256,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
         lax.fori_loop(0, iters, adam_iter, 0)
 
         # final candidate may beat the tracked best
+        if noise is not None:
+            draw_noise(iters)
         xf = x_s[:]
         re, im = forward(old_tape, xf, re0, im0)
         hre, him = h_apply(re, im)
@@ -200,6 +283,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
 
         re1 = jnp.broadcast_to(p0re_ref[:], (1, d))
         im1 = jnp.broadcast_to(p0im_ref[:], (1, d))
+        if noise is not None:
+            draw_noise(iters + 1)   # fresh realization for e_new
 
         def gate_new(g, carry):
             re, im = carry
@@ -210,6 +295,7 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
             coeffs = _gate_coeffs(k, theta_of(x_new, s))
             b, act = _masks(t, c, col)
             nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
+            nre, nim = apply_noise(g, k, t, c, nre, nim)
             return (nre, nim)
 
         reN, imN = lax.fori_loop(0, n_gates, gate_new, (re1, im1))
@@ -220,19 +306,25 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "lr", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "lr", "interpret", "noise"))
 def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
                            hre_t, him_t, starts, active, *, iters: int,
-                           lr: float, interpret: bool = False):
+                           lr: float, interpret: bool = False,
+                           noise=None, seeds=None):
     """One launch per env step.
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32; p0re/p0im
     (1, D) f32; hre_t/him_t (D, D) f32 (H^T planes); starts (E, S, R) f32;
     active (E, 1, R) f32.  Returns (x_opt (E, R), e_new (E,)).
+
+    ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
+    depolarizing-trajectory variant (re-sampled every Adam iteration via
+    the TPU PRNG).
     """
     n_env, s_batch, r = starts.shape
     d = p0re.shape[-1]
-    kernel = _make_kernel(iters, lr)
+    kernel = _make_kernel(iters, lr, noise=noise)
 
     def spec(shape, mapper):
         return pl.BlockSpec(shape, mapper, memory_space=pltpu.VMEM)
@@ -240,8 +332,25 @@ def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
     per_e3 = lambda shape: spec(shape, lambda e, *_: (e, 0, 0))  # noqa: E731
     shared2 = lambda shape: spec(shape, lambda e, *_: (0, 0))    # noqa: E731
 
+    scratch = [pltpu.VMEM((s_batch, r), jnp.float32),   # x
+               pltpu.VMEM((s_batch, r), jnp.float32),   # m
+               pltpu.VMEM((s_batch, r), jnp.float32),   # v
+               pltpu.VMEM((s_batch, r), jnp.float32),   # best x
+               pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
+               pltpu.VMEM((s_batch, d), jnp.float32),   # psi re
+               pltpu.VMEM((s_batch, d), jnp.float32),   # psi im
+               pltpu.VMEM((s_batch, d), jnp.float32),   # lam re
+               pltpu.VMEM((s_batch, d), jnp.float32)]   # lam im
+    prefetch = [*old_arrs, *new_arrs, map_idx]
+    n_prefetch = 9
+    if noise is not None:
+        g_pad = max(128, -(-old_arrs[0].shape[-1] // 128) * 128)
+        scratch.append(pltpu.VMEM((8, g_pad), jnp.float32))  # noise rows
+        prefetch.append(seeds)
+        n_prefetch = 10
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_env,),
         in_specs=[shared2((1, d)), shared2((1, d)),
                   shared2((d, d)), shared2((d, d)),
@@ -250,21 +359,16 @@ def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
         # dims (TPU tiling constraint)
         out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),
                    spec((1, 1, 1), lambda e, *_: (e, 0, 0))),
-        scratch_shapes=[pltpu.VMEM((s_batch, r), jnp.float32),   # x
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # m
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # v
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # best x
-                        pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
-                        pltpu.VMEM((s_batch, d), jnp.float32),   # psi re
-                        pltpu.VMEM((s_batch, d), jnp.float32),   # psi im
-                        pltpu.VMEM((s_batch, d), jnp.float32),   # lam re
-                        pltpu.VMEM((s_batch, d), jnp.float32)],  # lam im
+        scratch_shapes=scratch,
     )
+    if interpret and noise is not None:
+        # the HLO interpreter has no prng_seed; use the Mosaic-semantics
+        # TPU interpreter for the in-kernel-PRNG variant
+        interpret = pltpu.InterpretParams()
     x_opt, e_new = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_env, 1, r), jnp.float32),
                    jax.ShapeDtypeStruct((n_env, 1, 1), jnp.float32)),
         interpret=interpret,
-    )(*old_arrs, *new_arrs, map_idx, p0re, p0im, hre_t, him_t, starts,
-      active)
+    )(*prefetch, p0re, p0im, hre_t, him_t, starts, active)
     return x_opt[:, 0, :], e_new[:, 0, 0]

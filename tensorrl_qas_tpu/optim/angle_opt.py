@@ -447,25 +447,37 @@ class AngleOptimizer:
         r = x0_b.shape[1]
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
-        # mega engines serve noiseless runs and (opt-in) quenched-trajectory
-        # depolarizing runs; everything else uses the composed kernels
+        # mega engines serve noiseless runs and single-trajectory
+        # depolarizing runs (v1: in-kernel TPU-PRNG per-iteration
+        # re-sampling at full reference semantics, or quenched per-step
+        # tape extension; v2: quenched only); everything else composes
         mega_ok = self.noise_mode == "none" or (
-            self.noise_mode == "depolarizing"
-            and self.noise_resample == "step" and self.n_traj == 1)
+            self.noise_mode == "depolarizing" and self.n_traj == 1)
         engine = (self._pick_engine()
                   if self.use_pallas and mega_ok else "off")
+        kernel_noise, kernel_seeds = None, None
         if engine in ("v1", "v2") and self.noise_mode == "depolarizing":
-            # quench one trajectory per env step into the tapes; the
-            # extended arrays ride the normal mega path (X/Y/Z are in the
-            # kernel gate set, slot = -1 keeps them out of the gradient)
             kq = jax.random.fold_in(keys[0] if keys.ndim > 1 else keys, 7)
-            k_old, k_new = jax.random.split(kq)
-            old_arrs_b = tuple(map(jnp.asarray, old_arrs_b))
-            new_arrs_b = tuple(map(jnp.asarray, new_arrs_b))
-            old_arrs_b = self._extend_arrs(
-                old_arrs_b, *self._sample_noise_kinds(old_arrs_b[0], k_old))
-            new_arrs_b = self._extend_arrs(
-                new_arrs_b, *self._sample_noise_kinds(new_arrs_b[0], k_new))
+            if self.noise_resample == "iter" and engine == "v2":
+                engine = "off"   # composed path: per-iteration re-draws
+            elif self.noise_resample == "iter":
+                kernel_noise = (float(self.noise_p1), float(self.noise_p2))
+                kernel_seeds = jax.random.randint(
+                    kq, (len(n_active_b), 2), 0, 2**31 - 1, dtype=jnp.int32)
+            else:
+                # quench one trajectory per env step into the tapes; the
+                # extended arrays ride the normal mega path (X/Y/Z are in
+                # the kernel gate set, slot = -1 keeps them out of the
+                # gradient)
+                k_old, k_new = jax.random.split(kq)
+                old_arrs_b = tuple(map(jnp.asarray, old_arrs_b))
+                new_arrs_b = tuple(map(jnp.asarray, new_arrs_b))
+                old_arrs_b = self._extend_arrs(
+                    old_arrs_b,
+                    *self._sample_noise_kinds(old_arrs_b[0], k_old))
+                new_arrs_b = self._extend_arrs(
+                    new_arrs_b,
+                    *self._sample_noise_kinds(new_arrs_b[0], k_new))
         if engine in ("v1", "v2"):
             # single-launch path: the whole multi-start Adam runs inside
             # one Pallas kernel (ops/pallas_opt.py or pallas_opt2d.py)
@@ -486,7 +498,8 @@ class AngleOptimizer:
                     jnp.asarray(map_idx_b), jnp.asarray(re0)[None],
                     jnp.asarray(im0)[None], self._hre_t, self._him_t,
                     starts, active[:, None, :], iters=self.iters,
-                    lr=self.lr, interpret=self.pallas_interpret)
+                    lr=self.lr, interpret=self.pallas_interpret,
+                    noise=kernel_noise, seeds=kernel_seeds)
             else:
                 from tensorrl_qas_tpu.ops.pallas_opt2d import \
                     fused_adam_step_pallas2d

@@ -279,6 +279,95 @@ def test_mega_kernel_quenched_trajectory():
     np.testing.assert_allclose(xq, xn, atol=1e-5)
 
 
+def _inkernel_opt(ps, p1_, p2_, mode, interpret=True):
+    o = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=1,
+                       n_starts=1, lr=0.0, dtype=jnp.complex64,
+                       noise_mode=mode, noise_p1=p1_, noise_p2=p2_,
+                       use_pallas=True)
+    o.noise_resample = "iter"
+    o.pallas_interpret = interpret
+    o._pauli_obj = ps
+    return o
+
+
+def _tiled_inputs(tape, n_env):
+    arrs_b = tuple(np.tile(np.asarray(a)[None], (n_env, 1))
+                   for a in tape.arrays())
+    x0_b = np.tile(tape.x0().astype(np.float32)[None], (n_env, 1))
+    map_idx = np.tile(np.arange(x0_b.shape[1], dtype=np.int32)[None],
+                      (n_env, 1))
+    return arrs_b, x0_b, map_idx
+
+
+def test_mega_kernel_inkernel_noise_p0_is_noiseless():
+    """noise_resample='iter' on the v1 mega-kernel at p=0 must equal the
+    noiseless kernel exactly (the in-kernel-PRNG variant, safe to check
+    under the TPU interpreter where random bits are stubbed to 0)."""
+    n = 3
+    tape = _test_tape(n)
+    ps = PauliSum.from_strings(["ZII", "IZI", "IIZ", "XXI", "IYY"],
+                               [1.0, 0.5, -0.7, 0.9, 1.3], n)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    n_env = 4
+    arrs_b, x0_b, map_idx = _tiled_inputs(tape, n_env)
+    keys = jax.random.split(jax.random.PRNGKey(2), n_env)
+    nact = [tape.n_rots] * n_env
+    o0 = _inkernel_opt(ps, 0.0, 0.0, "depolarizing")
+    oc = _inkernel_opt(ps, 0.0, 0.0, "none")
+    _, e0, _ = o0.fused_step_batch(psi0_ri, arrs_b, x0_b, nact, arrs_b,
+                                   map_idx, keys)
+    _, ec, _ = oc.fused_step_batch(psi0_ri, arrs_b, x0_b, nact, arrs_b,
+                                   map_idx, keys)
+    np.testing.assert_allclose(e0, ec, atol=1e-6)
+
+
+def test_mega_kernel_inkernel_noise_matches_kraus():
+    """Statistical parity of the in-kernel TPU-PRNG trajectory draws with
+    the exact Kraus channel.  Requires real TPU hardware: the CPU-side
+    Mosaic interpreter stubs prng_random_bits to zeros."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        pytest.skip("in-kernel PRNG needs a real TPU "
+                    "(run scripts/validate_inkernel_noise.py)")
+    # n = 7 => D = 128: the TPU lane minimum (the CPU tests use n = 3,
+    # which Mosaic rejects as an unaligned dynamic_rotate shape)
+    n = 7
+    p1, p2 = 0.15, 0.25
+    tape = _test_tape(n)
+
+    def pad(s):
+        return s + "I" * (n - len(s))
+
+    ps = PauliSum.from_strings(
+        [pad("Z"), pad("IZ"), pad("IIZ"), pad("XX"), pad("IYY")],
+        [1.0, 0.5, -0.7, 0.9, 1.3], n)
+    exact = _kraus_expectation(tape, ps, p1, p2, n)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    # pooled calls of 64 programs each (larger grids exhaust SMEM with
+    # per-program prefetch); lr=0 and identity map keep x_new = x0, so
+    # e_new is a pure trajectory sample per in-kernel PRNG stream
+    n_env = 64
+    arrs_b, x0_b, map_idx = _tiled_inputs(tape, n_env)
+    on = _inkernel_opt(ps, p1, p2, "depolarizing", interpret=False)
+    es = []
+    for rep in range(10):
+        keys = jax.random.split(jax.random.PRNGKey(1000 + rep), n_env)
+        _, e_b, _ = on.fused_step_batch(psi0_ri, arrs_b, x0_b,
+                                        [tape.n_rots] * n_env, arrs_b,
+                                        map_idx, keys)
+        es.append(np.asarray(e_b))
+    es = np.concatenate(es)
+    n_env = es.size
+    sigma = es.std() / np.sqrt(n_env)
+    assert es.std() > 0.0   # streams must actually differ
+    assert abs(es.mean() - exact) < 5 * sigma + 1e-3
+
+
 def test_fused_step_batch_shot_pallas():
     """Shot mode through the kernels: huge n_shots ==> noiseless energies."""
     n = 3
