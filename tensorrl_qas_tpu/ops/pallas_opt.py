@@ -130,8 +130,12 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 gate g.  Paulis are Hermitian so U^H = U; ``transform``
                 'T' swaps off-diagonals (for the cotangent)."""
                 k_t, k_c = noise_kinds(g, k)
+                # theta as a (rows, 1) zero column gives the coeff entries
+                # the state's sublane count up front — Mosaic cannot
+                # broadcast (1, 1) into both sublanes and lanes at once
+                zcol = jnp.zeros((re.shape[0], 1), jnp.float32)
                 for kk, q in ((k_t, t), (k_c, jnp.maximum(c, 0))):
-                    cf = _gate_coeffs(kk, jnp.float32(0.0))
+                    cf = _gate_coeffs(kk, zcol)
                     if transform == "T":
                         (u00r, u00i, u01r, u01i, u10r, u10i,
                          u11r, u11i) = cf
