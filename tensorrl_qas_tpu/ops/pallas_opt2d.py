@@ -44,7 +44,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tensorrl_qas_tpu.ops.pallas_apply import _RX, _RY, _RZ, _gate_coeffs
+from tensorrl_qas_tpu.ops.pallas_apply import (
+    _CX,
+    _RX,
+    _RY,
+    _RZ,
+    _X,
+    _gate_coeffs,
+)
 
 _C = 128          # lane width (fixed by hardware)
 _LOG_C = 7
@@ -83,15 +90,23 @@ def pauli_flip_groups(pauli, dtype=np.float32):
 
 def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                  flips: tuple, b1: float = 0.9, b2: float = 0.999,
-                 eps: float = 1e-8):
+                 eps: float = 1e-8, noise=None):
+    """``noise=(p1, p2)``: in-kernel depolarizing trajectories (same
+    machinery as ops/pallas_opt.py v1 — TPU PRNG re-draws per Adam
+    iteration, error Paulis ride the roll-based gate apply)."""
     sr = s_batch * r_rows
     log_r = int(np.log2(r_rows))
 
     def kernel(okind, otq, ocq, oslot, nkind, ntq, ncq, nslot, mapidx,
-               flip_arr,
-               p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref, active_ref,
-               xopt_ref, enew_ref,
-               x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s):
+               flip_arr, *rest):
+        if noise is not None:
+            (seeds, p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref,
+             active_ref, xopt_ref, enew_ref,
+             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s, nz_s) = rest
+        else:
+            (p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref, active_ref,
+             xopt_ref, enew_ref,
+             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s) = rest
         e = pl.program_id(0)
         r = x_s.shape[-1]
         n_gates = okind.shape[-1]
@@ -181,6 +196,57 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
             return (act * nre + (1.0 - act) * rr,
                     act * nim + (1.0 - act) * ii)
 
+        # -- depolarizing-trajectory machinery (compiled out when noise is
+        # None); see ops/pallas_opt.py for the v1 twin ----------------------
+        if noise is not None:
+            p1, p2 = noise
+            g_pad = nz_s.shape[-1]
+            g_iota = lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
+
+            def draw_noise(tag):
+                tag32 = jnp.asarray(tag, jnp.int32)
+                pltpu.prng_seed(
+                    seeds[e, 0] ^ (tag32 * jnp.int32(-1640531527)),
+                    seeds[e, 1])
+                bits = pltpu.prng_random_bits((8, g_pad))
+                u = lax.shift_right_logical(
+                    bits, jnp.asarray(8, bits.dtype)).astype(jnp.float32) \
+                    * jnp.float32(1.0 / (1 << 24))
+                nz_s[0:1] = u[0:1]
+                nz_s[1:2] = jnp.minimum(jnp.floor(u[1:2] * 3.0), 2.0) + 1.0
+                nz_s[2:3] = jnp.minimum(jnp.floor(u[2:3] * 15.0), 14.0) + 1.0
+
+            def apply_noise(g, k, t, c, re, im, transform=None):
+                sel = (g_iota == g).astype(jnp.float32)
+                u_g = mm(nz_s[0:1], sel)
+                c3 = mm(nz_s[1:2], sel)
+                c15 = mm(nz_s[2:3], sel)
+                is_rot = (k >= _RX) & (k <= _RZ)
+                is_cx = k == _CX
+                fire1 = is_rot & (u_g < p1)
+                fire2 = is_cx & (u_g < p2)
+                ct = c15 - 4.0 * jnp.floor(c15 * 0.25)
+                cc = jnp.floor(c15 * 0.25)
+                code_t = jnp.where(fire1, c3, jnp.where(fire2, ct, 0.0))
+                code_c = jnp.where(fire2, cc, 0.0)
+                to_kind = lambda cd: jnp.where(  # noqa: E731
+                    cd > 0.0, (_X - 1.0) + cd, 0.0)
+                zcol = jnp.zeros((sr, 1), jnp.float32)
+                for kk, q in ((to_kind(code_t), t),
+                              (to_kind(code_c), jnp.maximum(c, 0))):
+                    cf = _gate_coeffs(kk, zcol)
+                    if transform == "T":
+                        (u00r, u00i, u01r, u01i, u10r, u10i,
+                         u11r, u11i) = cf
+                        cf = (u00r, u00i, u10r, u10i, u01r, u01i,
+                              u11r, u11i)
+                    re, im = apply_coeffs(re, im, cf, bit_plane(q),
+                                          jnp.float32(1.0), q)
+                return re, im
+        else:
+            def apply_noise(g, k, t, c, re, im, transform=None):
+                return re, im
+
         def forward(tape, xmat, re0, im0):
             kind_r, tq_r, cq_r, slot_r = tape
 
@@ -195,6 +261,7 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 cf = (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i)
                 re, im = apply_coeffs(re, im, cf, bit_plane(t),
                                       act_plane(c), t)
+                re, im = apply_noise(g, k, t, c, re, im)
                 return (re, im)
 
             return lax.fori_loop(0, n_gates, gate, (re0, im0))
@@ -259,6 +326,10 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 t = tq_r[e, g]
                 c = cq_r[e, g]
                 s = slot_r[e, g]
+                # undo the sampled error Paulis (Hermitian) and bring the
+                # cotangent to the post-gate point
+                re, im = apply_noise(g, k, t, c, re, im)
+                lre, lim = apply_noise(g, k, t, c, lre, lim, transform="T")
                 (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
                     _gate_coeffs(k, theta_rows(xmat, s))
                 b = bit_plane(t)
@@ -302,6 +373,8 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
         be_s[:] = jnp.full_like(be_s, jnp.inf)
 
         def adam_iter(it, _):
+            if noise is not None:
+                draw_noise(it)
             x = x_s[:]
             re, im = forward(old_tape, x, re0, im0)
             hre, him = h_apply(re, im)
@@ -325,6 +398,8 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
         lax.fori_loop(0, iters, adam_iter, 0)
 
         # final candidate may beat the tracked best
+        if noise is not None:
+            draw_noise(iters)
         xf = x_s[:]
         re, im = forward(old_tape, xf, re0, im0)
         hre, him = h_apply(re, im)
@@ -347,6 +422,8 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
         x_new = lax.fori_loop(0, r, remap, jnp.zeros((1, r), jnp.float32))
 
         # --- post-action energy (all starts carry the same x; read s=0) --
+        if noise is not None:
+            draw_noise(iters + 1)   # fresh realization for e_new
         x_pad = jnp.broadcast_to(x_new, (s_batch, r))
         reN, imN = forward(new_tape, x_pad, re0, im0)
         hreN, himN = h_apply(reN, imN)
@@ -359,20 +436,25 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("flips", "iters", "lr", "interpret"))
+                   static_argnames=("flips", "iters", "lr", "interpret",
+                                    "noise"))
 def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                              wre, wim, flips, starts, active, *,
-                             iters: int, lr: float, interpret: bool = False):
+                             iters: int, lr: float, interpret: bool = False,
+                             noise=None, seeds=None):
     """One launch per env step, 2D-tiled layout (7 <= n <= 12).
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32;
     p0re/p0im (Rr, C) f32 planes of psi0; wre/wim (G, Rr, C) flip-group
     coefficient planes; flips: static tuple of G ints; starts (E, S, R)
     f32; active (E, 1, R) f32.  Returns (x_opt (E, R), e_new (E,)).
+
+    ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
+    depolarizing-trajectory variant.
     """
     n_env, s_batch, r = starts.shape
     r_rows = p0re.shape[0]
-    kernel = _make_kernel(iters, lr, s_batch, r_rows, flips)
+    kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise)
     sr = s_batch * r_rows
 
     def spec(shape, mapper):
@@ -384,8 +466,22 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
 
     n_groups = wre.shape[0]
     flips_arr = jnp.asarray(np.asarray(flips, dtype=np.int32))
+    scratch = [pltpu.VMEM((s_batch, r), jnp.float32),   # x
+               pltpu.VMEM((s_batch, r), jnp.float32),   # m
+               pltpu.VMEM((s_batch, r), jnp.float32),   # v
+               pltpu.VMEM((s_batch, r), jnp.float32),   # best x
+               pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
+               pltpu.VMEM((sr, _C), jnp.float32),       # H psi re
+               pltpu.VMEM((sr, _C), jnp.float32)]       # H psi im
+    prefetch = [*old_arrs, *new_arrs, map_idx, flips_arr]
+    n_prefetch = 10
+    if noise is not None:
+        g_pad = max(128, -(-old_arrs[0].shape[-1] // 128) * 128)
+        scratch.append(pltpu.VMEM((8, g_pad), jnp.float32))  # noise rows
+        prefetch.append(seeds)
+        n_prefetch = 11
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_env,),
         in_specs=[shared2((r_rows, _C)), shared2((r_rows, _C)),
                   shared3((n_groups, r_rows, _C)),
@@ -393,19 +489,14 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                   per_e3((1, s_batch, r)), per_e3((1, 1, r))],
         out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),
                    spec((1, 1, 1), lambda e, *_: (e, 0, 0))),
-        scratch_shapes=[pltpu.VMEM((s_batch, r), jnp.float32),   # x
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # m
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # v
-                        pltpu.VMEM((s_batch, r), jnp.float32),   # best x
-                        pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
-                        pltpu.VMEM((sr, _C), jnp.float32),       # H psi re
-                        pltpu.VMEM((sr, _C), jnp.float32)],      # H psi im
+        scratch_shapes=scratch,
     )
+    if interpret and noise is not None:
+        interpret = pltpu.InterpretParams()
     x_opt, e_new = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_env, 1, r), jnp.float32),
                    jax.ShapeDtypeStruct((n_env, 1, 1), jnp.float32)),
         interpret=interpret,
-    )(*old_arrs, *new_arrs, map_idx, flips_arr, p0re, p0im, wre, wim,
-      starts, active)
+    )(*prefetch, p0re, p0im, wre, wim, starts, active)
     return x_opt[:, 0, :], e_new[:, 0, 0]

@@ -458,9 +458,7 @@ class AngleOptimizer:
         kernel_noise, kernel_seeds = None, None
         if engine in ("v1", "v2") and self.noise_mode == "depolarizing":
             kq = jax.random.fold_in(keys[0] if keys.ndim > 1 else keys, 7)
-            if self.noise_resample == "iter" and engine == "v2":
-                engine = "off"   # composed path: per-iteration re-draws
-            elif self.noise_resample == "iter":
+            if self.noise_resample == "iter":
                 kernel_noise = (float(self.noise_p1), float(self.noise_p2))
                 kernel_seeds = jax.random.randint(
                     kq, (len(n_active_b), 2), 0, 2**31 - 1, dtype=jnp.int32)
@@ -514,7 +512,8 @@ class AngleOptimizer:
                     jnp.asarray(im0).reshape(r_rows, -1),
                     wre, wim, flips, starts, active[:, None, :],
                     iters=self.iters, lr=self.lr,
-                    interpret=self.pallas_interpret)
+                    interpret=self.pallas_interpret,
+                    noise=kernel_noise, seeds=kernel_seeds)
         elif self.use_pallas:
             x_opt, e_new = self._fused_pallas_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,

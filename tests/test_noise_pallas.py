@@ -397,3 +397,38 @@ def test_fused_step_batch_shot_pallas():
     e_clean = opt_c.energy(psi0_ri, tuple(map(jnp.asarray, tape.arrays())),
                            x2[0])
     assert e2[0] == pytest.approx(e_clean, abs=1e-3)
+
+
+def test_v2_mega_kernel_inkernel_noise_p0_is_noiseless():
+    """The 2D-tiled mega-kernel's in-kernel noise variant at p=0 must
+    equal the noiseless v2 kernel (n=7: the v2 minimum size)."""
+    from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+    from test_pallas_apply import random_tape
+
+    n = 7
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    tape = random_tape(n, 10, seed=2)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+
+    def opt_for(mode):
+        o = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=5,
+                           n_starts=2, dtype=jnp.complex64,
+                           noise_mode=mode, noise_p1=0.0, noise_p2=0.0,
+                           use_pallas=True)
+        o.noise_resample = "iter"
+        o.pallas_interpret = True
+        o.pallas_engine = "v2"
+        o._pauli_obj = ps
+        return o
+
+    arrs_b, x0_b, map_idx = _tiled_inputs(tape, 2)
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    nact = [tape.n_rots] * 2
+    _, e0, _ = opt_for("depolarizing").fused_step_batch(
+        psi0_ri, arrs_b, x0_b, nact, arrs_b, map_idx, keys)
+    _, ec, _ = opt_for("none").fused_step_batch(
+        psi0_ri, arrs_b, x0_b, nact, arrs_b, map_idx, keys)
+    np.testing.assert_allclose(e0, ec, atol=1e-5)
