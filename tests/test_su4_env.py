@@ -189,3 +189,31 @@ def test_su4_basis_synthesis_matches_cnot_basis():
     # same state up to global phase
     ov = abs(np.vdot(np.asarray(psi_a), np.asarray(psi_b)))
     assert ov == pytest.approx(1.0, abs=1e-9)
+
+
+def test_su4_vectorized_env():
+    """su4 gate set under the vectorized wrapper (batched XLA fused step)."""
+    from tensorrl_qas_tpu.envs import EnvConfig
+    from tensorrl_qas_tpu.envs.vector_env import VectorCircuitEnv
+    from tensorrl_qas_tpu.problems.hamiltonians import resolve_data_file
+
+    try:
+        resolve_data_file("mol_data/heisenberg_5q.npz")
+    except FileNotFoundError:
+        pytest.skip("no data")
+    cfg = EnvConfig(
+        num_qubits=5, num_layers=20, ham_type="heisenberg",
+        tn_placement="fixed", tn_init=0, tn_bond=0, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=6, n_starts=2,
+        sim_dtype="complex64", seed=7, gate_set="su4")
+    venv = VectorCircuitEnv(cfg, n_envs=3)
+    venv.reset_all()
+    acts = list(venv.envs[0].action_dict.values())
+    e0 = venv.envs[0].prev_energy
+    obs, rewards, dones, infos = venv.step_all([acts[0], acts[40], acts[70]])
+    assert np.isfinite([i["energy"] for i in infos]).all()
+    obs, rewards, dones, infos = venv.step_all([acts[5], acts[0], acts[12]])
+    # replicas advance independently and optimize 2q-rotation angles
+    assert venv.envs[0].energy < e0 + 1e-9
