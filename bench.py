@@ -33,7 +33,7 @@ TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
 SIZES = os.environ.get("BENCH_SIZES", "8,10,12")
-NOISY = int(os.environ.get("BENCH_NOISY", "0"))  # add a noisy 8q row
+NOISY = int(os.environ.get("BENCH_NOISY", "1"))  # add a noisy 8q row
 
 BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 
