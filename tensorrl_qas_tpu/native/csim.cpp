@@ -23,7 +23,8 @@ using cplx = std::complex<double>;
 namespace {
 
 enum Kind : int32_t {
-  NONE = 0, RX = 1, RY = 2, RZ = 3, CX = 4, X = 5, Y = 6, Z = 7, H = 8
+  NONE = 0, RX = 1, RY = 2, RZ = 3, CX = 4, X = 5, Y = 6, Z = 7, H = 8,
+  RXX = 9, RYY = 10, RZZ = 11
 };
 
 struct U2 {
@@ -64,6 +65,34 @@ inline void apply_controlled_1q(cplx* psi, int64_t dim, const U2& u,
   }
 }
 
+// exp(-i theta (P (x) P) / 2) on (qa, qb), P in {X, Y, Z} — the SU(4)
+// action-set rotations (same flip-and-phase form as sim/apply.py
+// _apply_two_pauli_rot).  Both mask bits flip together, so the pair
+// members share the parity phase.
+inline void apply_two_pauli_rot(cplx* psi, int64_t dim, int32_t kind,
+                                double theta, int32_t qa, int32_t qb) {
+  const double c = std::cos(0.5 * theta), s = std::sin(0.5 * theta);
+  const cplx mis(0.0, -s);  // -i sin(t/2)
+  const int64_t amask = int64_t(1) << qa, bmask = int64_t(1) << qb;
+  const int64_t mask = amask | bmask;
+  if (kind == RZZ) {  // diagonal: phase by (-1)^parity
+    for (int64_t i = 0; i < dim; ++i) {
+      const double sign = ((i & amask) != 0) ^ ((i & bmask) != 0) ? -1. : 1.;
+      psi[i] *= (c + mis * sign);
+    }
+    return;
+  }
+  for (int64_t i = 0; i < dim; ++i) {
+    if (i & amask) continue;            // canonical pair member: qa bit 0
+    const int64_t j = i ^ mask;
+    const double p = (i & bmask) ? 1.0 : 0.0;   // shared pair parity
+    const double ph = kind == RYY ? (2.0 * p - 1.0) : 1.0;  // XX: +1
+    const cplx a = psi[i], b = psi[j];
+    psi[i] = c * a + mis * ph * b;
+    psi[j] = c * b + mis * ph * a;
+  }
+}
+
 inline int parity64(uint64_t v) {
 #if defined(__GNUC__)
   return __builtin_parityll(v);
@@ -88,6 +117,10 @@ void csim_apply_tape(int32_t n_qubits, const int32_t* kind,
   for (int32_t g = 0; g < n_gates; ++g) {
     if (kind[g] == NONE) continue;
     const double theta = slot[g] >= 0 ? angles[slot[g]] : 0.0;
+    if (kind[g] >= RXX && kind[g] <= RZZ) {
+      apply_two_pauli_rot(psi, dim, kind[g], theta, tq[g], cq[g]);
+      continue;
+    }
     const U2 u = gate_matrix(kind[g], theta);
     apply_controlled_1q(psi, dim, u, tq[g], cq[g]);
   }

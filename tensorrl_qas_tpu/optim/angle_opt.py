@@ -169,7 +169,7 @@ class AngleOptimizer:
         if self._csim_tried:
             return self._csim
         self._csim_tried = True
-        if self._pauli_obj is None or self.enable_2q:
+        if self._pauli_obj is None:
             return None
         try:
             from tensorrl_qas_tpu import native

@@ -72,3 +72,37 @@ def test_csim_speed_smoke():
         eng.tape_energy(psi0, *arrs, x)
     dt = (time.time() - t0) / 20
     assert dt < 0.05, f"csim energy too slow: {dt*1e3:.1f} ms"
+
+
+def test_csim_su4_two_qubit_rotations():
+    """csim's RXX/RYY/RZZ match the XLA 2q-rotation path (the SU(4) gate
+    set rides the native oracle too)."""
+    import jax.numpy as jnp
+
+    from tensorrl_qas_tpu import native
+    from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+    from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
+    from tensorrl_qas_tpu.sim.expectation import PauliSum, pauli_expectation
+
+    if not native.available():
+        import pytest
+        pytest.skip("csim unavailable")
+    n = 4
+    tape = GateTape(n, 8, 8)
+    tape.add(GateKind.RY, target=0, angle=0.4)
+    tape.add(GateKind.RXX, target=1, control=0, angle=0.9)
+    tape.add(GateKind.RYY, target=3, control=2, angle=-0.6)
+    tape.add(GateKind.RZZ, target=2, control=1, angle=1.3)
+    tape.add(GateKind.RX, target=3, angle=-0.2)
+    ps = PauliSum.from_strings(["ZIII", "IZII", "XXII", "IYYI", "IIZZ"],
+                               [1.0, -0.5, 0.7, 0.9, -1.1], n)
+
+    eng = native.CsimEngine(ps)
+    import numpy as np
+    psi0 = np.asarray(zero_state(n, jnp.complex128))
+    e_c = eng.tape_energy(psi0, *(np.asarray(a) for a in tape.arrays()),
+                          tape.x0())
+    psi = apply_tape(jnp.asarray(psi0), *map(jnp.asarray, tape.arrays()),
+                     jnp.asarray(tape.x0()), enable_2q=True)
+    e_x = float(pauli_expectation(psi, *ps.device_arrays(jnp.complex128)))
+    assert abs(e_c - e_x) < 1e-10
