@@ -11,6 +11,10 @@ env clones (``environments/environment_qulacs*.py``); the axes
   ``environment_qulacs.py:299-302``),
 - ``noise_mode``: none / depolarizing-trajectory / shot,
 - ``topology``: all-to-all vs heavy-hex restricted action space,
+- ``gate_set``: ``'cnot'`` vs ``'su4'`` (the reference's unwired RXX/RYY/
+  RZZ action set, ``environments/VQAs/VQE_qulacs_su4.py``),
+- ``mesh_shape``: amplitude-sharded multi-chip simulation (scale-out past
+  the reference's 20-qubit single-machine ceiling),
 
 are flags, not files.
 
