@@ -95,7 +95,12 @@ def main() -> int:
             from tensorrl_qas_tpu.tn.dmrg import gs_dmrg
             from tensorrl_qas_tpu.tn.mpo import mpo_from_paulis
 
-            chi_e = max(args.tn_bond * 8, 32)
+            # chi caps the local two-site problem at (2*chi)^2 = 1024
+            # dims — the dense eigh per site stays seconds even at n ~ 24
+            # (chi = 32 would mean 4096-dim solves: hours); a chi = 16
+            # bound on E_min is far tighter than the chi = 2 warm start
+            # it normalizes rewards against
+            chi_e = min(max(args.tn_bond * 4, 8), 16)
             e_min = gs_dmrg(mpo_from_paulis(paulis, weights),
                             chi=chi_e, seed=args.seed)[0]
             e_max = -gs_dmrg(
