@@ -110,14 +110,26 @@ class AngleOptimizer:
         self._him_t = None
 
     def _mega_ready(self) -> bool:
-        """Prepare the dense H^T planes for the single-launch kernel."""
+        """Prepare the dense H^T planes for the single-launch kernel.
+
+        D < 128 (n <= 6) is zero-padded to the TPU's 128-lane minimum
+        (Mosaic rejects unaligned pltpu.roll shapes): active lanes never
+        read padding (c ^ 2^t < D for c < D, t < n), and the zero H block
+        keeps padded-lane garbage out of energies and gradients.
+        """
         if self._hre_t is not None:
             return True
         if self._pauli_obj is None:
             return False
-        if (1 << self._pauli_obj.n_qubits) > 1024:
+        d = 1 << self._pauli_obj.n_qubits
+        if d > 1024:
             return False
         ht = self._pauli_obj.to_dense().T
+        dpad = max(d, 128)
+        if dpad != d:
+            pad = np.zeros((dpad, dpad), dtype=complex)
+            pad[:d, :d] = ht
+            ht = pad
         self._hre_t = jnp.asarray(np.real(ht), jnp.float32)
         self._him_t = jnp.asarray(np.imag(ht), jnp.float32)
         return True
@@ -490,11 +502,17 @@ class AngleOptimizer:
                 from tensorrl_qas_tpu.ops.pallas_opt import \
                     fused_adam_step_pallas
 
+                re0p, im0p = jnp.asarray(re0), jnp.asarray(im0)
+                dpad = self._hre_t.shape[-1]
+                if re0p.shape[-1] < dpad:   # n <= 6: lane-minimum padding
+                    pad = dpad - re0p.shape[-1]
+                    re0p = jnp.pad(re0p, (0, pad))
+                    im0p = jnp.pad(im0p, (0, pad))
                 x_opt, e_new = fused_adam_step_pallas(
                     tuple(map(jnp.asarray, old_arrs_b)),
                     tuple(map(jnp.asarray, new_arrs_b)),
-                    jnp.asarray(map_idx_b), jnp.asarray(re0)[None],
-                    jnp.asarray(im0)[None], self._hre_t, self._him_t,
+                    jnp.asarray(map_idx_b), re0p[None],
+                    im0p[None], self._hre_t, self._him_t,
                     starts, active[:, None, :], iters=self.iters,
                     lr=self.lr, interpret=self.pallas_interpret,
                     noise=kernel_noise, seeds=kernel_seeds)
@@ -514,7 +532,11 @@ class AngleOptimizer:
                     iters=self.iters, lr=self.lr,
                     interpret=self.pallas_interpret,
                     noise=kernel_noise, seeds=kernel_seeds)
-        elif self.use_pallas:
+        elif self.use_pallas and (self.pallas_interpret
+                                  or psi0[0].shape[-1] >= 128):
+            # composed kernels need the 128-lane minimum on real hardware
+            # (pltpu.roll rejects unaligned shapes); interpret mode (CPU
+            # tests) has no such floor
             x_opt, e_new = self._fused_pallas_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
                 tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),
