@@ -121,6 +121,13 @@ def bench_size(n_qubits: int, noisy: bool = False):
 
 
 def main() -> int:
+    from tensorrl_qas_tpu.utils.compcache import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
+
+    apply_platform_env()
+    enable_compilation_cache()
     sizes = [int(s) for s in SIZES.split(",") if s.strip()]
     results = {}
     for n in sizes:

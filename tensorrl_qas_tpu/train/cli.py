@@ -89,10 +89,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vectorized mode: rescale epsilon_decay so epsilon "
                         "follows the reference's per-env-step schedule "
                         "(DeepQ.py:134-137) regardless of replica count")
+    p.add_argument("--stop_at_error", type=float, default=0.0,
+                   help="vectorized mode: stop early once best_error is at "
+                        "or below this AND --stop_min_successes episodes "
+                        "succeeded (0 = run the full step budget)")
+    p.add_argument("--stop_min_successes", type=int, default=0)
     return p
 
 
 def main(argv=None) -> int:
+    from tensorrl_qas_tpu.utils.compcache import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
+
+    apply_platform_env()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     conf = get_config(args.experiment_name, f"{args.config}.cfg")
@@ -129,7 +141,9 @@ def main(argv=None) -> int:
         summary = train_vectorized(venv, agent, conf, args.seed, output_path,
                                    total_env_steps=total,
                                    replays_per_iter=args.replays_per_iter,
-                                   eps_per_step=bool(args.eps_per_step))
+                                   eps_per_step=bool(args.eps_per_step),
+                                   stop_at_error=args.stop_at_error,
+                                   stop_min_successes=args.stop_min_successes)
         print(json.dumps(summary), flush=True)
         return 0
 

@@ -80,7 +80,9 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                      replays_per_iter: int = 1, verbose: bool = True,
                      loss_fetch_every: int = 10,
                      summary_save_every: int = 200,
-                     eps_per_step: bool = True) -> dict:
+                     eps_per_step: bool = True,
+                     stop_at_error: float = 0.0,
+                     stop_min_successes: int = 0) -> dict:
     """Run vectorized training for a fixed env-step budget.
 
     Produces the same artifact set as the sequential driver: the
@@ -92,12 +94,22 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     replay call per step, ``agents/DeepQ.py:134-137``); the vectorized loop
     makes ``replays_per_iter`` replay calls per B env steps, so the config's
     ``epsilon_decay`` is rescaled to ``decay ** (B / replays_per_iter)`` to
-    keep the reference's per-env-step exploration schedule.
+    keep the reference's per-env-step exploration schedule.  The rescaled
+    value is logged at startup so run provenance is traceable.
+
+    ``stop_at_error`` / ``stop_min_successes``: optional early stop — end
+    the run once ``best_error <= stop_at_error`` AND at least
+    ``stop_min_successes`` episodes have terminated in success (reward +5).
+    Both conditions must hold; 0.0 disables.
     """
     saver = Saver(output_path, seed)
     if eps_per_step:
         agent.epsilon_decay = float(
             agent.epsilon_decay ** (venv.n_envs / max(1, replays_per_iter)))
+        print(f"eps_per_step: epsilon_decay rescaled to "
+              f"{agent.epsilon_decay:.8f} "
+              f"(B={venv.n_envs}, replays_per_iter={replays_per_iter})",
+              flush=True)
     batch_size = conf["agent"]["batch_size"]
     b = venv.n_envs
     ep_bufs = _EpisodeBuffers(b)
@@ -160,6 +172,12 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
             from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(f"{output_path}/vec_{seed}", agent)
+        if (stop_at_error > 0.0 and best_error <= stop_at_error
+                and successes >= stop_min_successes):
+            print(f"early stop: best_error {best_error:.3e} <= "
+                  f"{stop_at_error:.3e} with {successes} successes",
+                  flush=True)
+            break
 
     from tensorrl_qas_tpu.train.checkpoint import save_checkpoint
 

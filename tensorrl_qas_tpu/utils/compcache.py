@@ -1,0 +1,61 @@
+"""Persistent XLA compilation cache.
+
+The fused training step takes tens of seconds to compile cold (143 s at
+12 qubits measured in round 2); every driver/bench invocation paid it
+again.  Enabling JAX's persistent compilation cache amortizes that across
+process launches — subsequent runs of the same shapes deserialize the
+executable instead of recompiling.
+
+Safe to call multiple times; silently degrades to no-op if the backend
+cannot serialize executables (the cache is best-effort by design).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative.
+
+    The ambient environment may pre-register a TPU platform plugin that
+    forces ``jax_platforms`` regardless of the env var (see root
+    conftest.py); re-apply the user's choice after import so
+    ``JAX_PLATFORMS=cpu python -m tensorrl_qas_tpu.train.cli ...`` really
+    runs on host CPU.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Point JAX at an on-disk compilation cache directory.
+
+    Returns the cache dir actually configured, or None on failure.
+    Override location with ``TRLQAS_CACHE_DIR``; set it to ``off`` to
+    disable entirely.
+    """
+    env = os.environ.get("TRLQAS_CACHE_DIR")
+    if env == "off":
+        return None
+    path = path or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "trlqas_xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default min-compile-time threshold is 1s; our fused steps are
+        # far above it, but keep small entries too — the driver also jits
+        # many sub-second helpers that add up across launches.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return path
+    except Exception:  # noqa: BLE001 — best-effort cache
+        return None
