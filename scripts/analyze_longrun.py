@@ -23,7 +23,11 @@ import numpy as np
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
 from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
-from tensorrl_qas_tpu.circuits.tensor_ir import StateTensor, embed_tape
+from tensorrl_qas_tpu.circuits.tensor_ir import (
+    SU4StateTensor,
+    StateTensor,
+    embed_tape,
+)
 from tensorrl_qas_tpu.problems.hamiltonians import (
     resolve_data_file,
     warmstart_qasm_name,
@@ -32,9 +36,15 @@ from tensorrl_qas_tpu.train.config import get_config
 
 
 def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
-                  zero_params=False):
-    """Replay an episode's action ids into a circuit; return tape stats."""
-    state = StateTensor(num_layers, n)
+                  zero_params=False, gate_set="cnot"):
+    """Replay an episode's action ids into a circuit; return tape stats.
+
+    ``gate_set='su4'`` decodes with the 3n^2-entry su4 dictionary (2q
+    actions are RXX/RYY/RZZ placements, ``circuits/actions.py:su4_actions``)
+    into an ``SU4StateTensor``; the "cnots" key then counts two-qubit
+    rotations (the su4 analog of the published CNOT column)."""
+    su4 = gate_set == "su4"
+    state = (SU4StateTensor if su4 else StateTensor)(num_layers, n)
     layer_offset = 0
     if tn_tape is not None:
         layer_offset = embed_tape(state, tn_tape, zero_params=zero_params)
@@ -44,7 +54,11 @@ def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
         targ = (ctrl + offset) % n
         if ctrl < n:
             gate_layer = max(moments[ctrl], moments[targ])
-            state.place_cnot(layer_offset + gate_layer, ctrl, targ)
+            if su4:
+                state.place_two_rotation(layer_offset + gate_layer,
+                                         rot_axis - 1, ctrl, targ, 0.0)
+            else:
+                state.place_cnot(layer_offset + gate_layer, ctrl, targ)
             m = gate_layer + 1
             moments[ctrl] = m
             moments[targ] = m
@@ -58,11 +72,13 @@ def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
 
 
 def analyze(summary_path, conf, tn_placement, topology="all_to_all",
-            zero_params=False):
+            zero_params=False, gate_set=None):
     n = conf["env"]["num_qubits"]
     num_layers = conf["env"]["num_layers"]
     accept_err = conf["env"]["accept_err"]
-    action_dict = action_dictionary(n, topology)
+    if gate_set is None:
+        gate_set = conf["env"].get("gate_set", "cnot")
+    action_dict = action_dictionary(n, topology, gate_set=gate_set)
 
     tn_tape = None
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
@@ -99,7 +115,7 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
             out[name] = None
             continue
         stats = circuit_stats(rec["actions"], n, num_layers, action_dict,
-                              tn_tape, zero_params)
+                              tn_tape, zero_params, gate_set=gate_set)
         out[name] = {"error": rec["error"], "episode": rec["episode"],
                      "step": rec["step"], **stats}
     return out
@@ -113,6 +129,10 @@ def main():
                    help="config family dir (default: parent dir name + /)")
     p.add_argument("--config", default=None,
                    help="config file (default: dir name + .cfg)")
+    p.add_argument("--gate_set", choices=["cnot", "su4"], default=None,
+                   help="override for summaries from runs launched with "
+                        "the CLI --gate_set flag (the config corpus does "
+                        "not record it)")
     args = p.parse_args()
 
     d = pathlib.Path(args.results_dir)
@@ -123,7 +143,7 @@ def main():
     zero_params = bool(conf["env"].get("zero_param_init", 0))
 
     out = analyze(d / f"summary_{args.seed}.npy", conf, tn_placement,
-                  zero_params=zero_params)
+                  zero_params=zero_params, gate_set=args.gate_set)
     out["family"] = family
     out["config"] = cfg_name
     print(json.dumps(out, indent=2))

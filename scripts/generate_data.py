@@ -95,11 +95,14 @@ def main() -> int:
             from tensorrl_qas_tpu.tn.dmrg import gs_dmrg
             from tensorrl_qas_tpu.tn.mpo import mpo_from_paulis
 
-            # chi caps the local two-site problem at (2*chi)^2 = 1024
-            # dims — the dense eigh per site stays seconds even at n ~ 24
-            # (chi = 32 would mean 4096-dim solves: hours); a chi = 16
-            # bound on E_min is far tighter than the chi = 2 warm start
-            # it normalizes rewards against
+            # chi caps the local two-site problem: chi_e = clip(4*tn_bond,
+            # 8, 16), i.e. chi 8 for the shipped tn_bond=2 problems and at
+            # most 16 — the dense eigh per site stays seconds even at
+            # n ~ 24 (chi = 32 would mean 4096-dim solves: hours).  The
+            # resulting E_min is a variational *upper bound* at that chi,
+            # still far tighter than the chi = 2 warm start it normalizes
+            # rewards against; the chi used is recorded in the npz
+            # (eigvals_method) so error numbers are interpretable.
             chi_e = min(max(args.tn_bond * 4, 8), 16)
             e_min = gs_dmrg(mpo_from_paulis(paulis, weights),
                             chi=chi_e, seed=args.seed)[0]
@@ -107,7 +110,8 @@ def main() -> int:
                 mpo_from_paulis(paulis, [-w for w in weights]),
                 chi=chi_e, seed=args.seed)[0]
             save_problem_npz(str(npz_path), paulis, weights,
-                             eigvals=[e_min, e_max])
+                             eigvals=[e_min, e_max],
+                             eigvals_method=f"dmrg_chi{chi_e}")
         else:
             save_problem_npz(str(npz_path), paulis, weights)
         print(f"wrote {npz_path}")

@@ -81,6 +81,10 @@ class DQN:
         topology = env_c.get("topology", "all_to_all")
         self.translate = action_dictionary(self.num_qubits, topology,
                                            gate_set=gate_set)
+        # kept only for reference-schema parity (agents expose .translate
+        # and the reverted dict, utils.py:59-77); nothing in this repo reads
+        # it.  For su4 there is no reverted enumeration, so it aliases
+        # translate and carries no reverted-ordering contract.
         self.rev_translate = (
             self.translate if gate_set == "su4" else
             action_dictionary(self.num_qubits, topology, reverted=True))

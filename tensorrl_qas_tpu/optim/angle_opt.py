@@ -460,9 +460,9 @@ class AngleOptimizer:
         active = (jnp.arange(r)[None, :]
                   < jnp.asarray(n_active_b)[:, None]).astype(rdtype)
         # mega engines serve noiseless runs and single-trajectory
-        # depolarizing runs (v1: in-kernel TPU-PRNG per-iteration
-        # re-sampling at full reference semantics, or quenched per-step
-        # tape extension; v2: quenched only); everything else composes
+        # depolarizing runs (v1 AND v2 both support in-kernel TPU-PRNG
+        # per-iteration re-sampling at full reference semantics, and the
+        # quenched per-step tape extension); everything else composes
         mega_ok = self.noise_mode == "none" or (
             self.noise_mode == "depolarizing" and self.n_traj == 1)
         engine = (self._pick_engine()

@@ -48,6 +48,10 @@ class ShardedAngleOptimizer:
         self.n_starts = max(n_starts, n_dp)
         if self.n_starts % n_dp:
             self.n_starts += n_dp - self.n_starts % n_dp
+        if self.n_starts != n_starts:
+            print(f"ShardedAngleOptimizer: n_starts {n_starts} -> "
+                  f"{self.n_starts} (rounded up to dp axis {n_dp})",
+                  flush=True)
         self.lr = lr
         self.restart_scale = restart_scale
         self.dtype = dtype
@@ -58,11 +62,22 @@ class ShardedAngleOptimizer:
 
     # -- state handling --------------------------------------------------------
 
+    @staticmethod
+    def _stamp(arr) -> tuple:
+        """Cheap content fingerprint of a host array: shape + a strided
+        64-sample byte digest.  Unlike ``id()`` it cannot silently alias a
+        different array after garbage collection / buffer reuse."""
+        a = np.asarray(arr).ravel()
+        stride = max(1, a.size // 64)
+        return (a.shape if a.ndim else (a.size,), a.size,
+                a[::stride].tobytes())
+
     def _psi0_batched(self, psi0):
         """(B, 2^n) sharded initial-state batch from an (re, im) host pair
         (or None for |0...0>).  Cached: the warm-start state is fixed per
         env, and re-placing a 2^n-sized batch every step would dominate."""
-        key = id(psi0[0]) if isinstance(psi0, tuple) else None
+        key = ((self._stamp(psi0[0]), self._stamp(psi0[1]))
+               if isinstance(psi0, tuple) else None)
         cached = self._psi0_cache.get(key)
         if cached is not None:
             return cached
@@ -152,6 +167,15 @@ class ShardedAngleOptimizer:
         return ev[0]
 
     def energy(self, psi0, tape_arrays, x, key=None) -> float:
+        """Exact (noiseless) <H> of the tape at angles ``x``.
+
+        ``key`` is accepted for AngleOptimizer interface parity (the env
+        passes one unconditionally) but has no effect: the sharded path is
+        deterministic — depolarizing noise is deliberately unsupported here
+        (``CircuitEnv`` raises when combining ``mesh_shape`` with a noise
+        mode; the scale-out path targets the reference's noiseless 20q
+        claim, README.md:29)."""
+        del key
         x = jnp.asarray(np.asarray(x, dtype=self.rdtype))
         psi0_b = self._psi0_batched(psi0)
         return float(self._energy_jit(psi0_b,

@@ -108,19 +108,25 @@ def dense_from_paulis(paulis, weights) -> np.ndarray:
 
 
 def save_problem_npz(path: str, paulis, weights, energy_shift: float = 0.0,
-                     with_dense: bool = True, eigvals=None) -> None:
+                     with_dense: bool = True, eigvals=None,
+                     eigvals_method: str | None = None) -> None:
     """Emit the reference .npz schema for a Pauli-sum problem.
 
     ``eigvals``: pass precomputed (possibly partial) eigenvalues for sizes
     where dense diagonalization is infeasible (n >~ 14; DMRG extremal
     values suffice — min/max_eig are all the loader consumes, and the
-    schema explicitly allows partial spectra, see load_problem)."""
+    schema explicitly allows partial spectra, see load_problem).
+    ``eigvals_method``: provenance of a partial spectrum (e.g. "dmrg_chi8")
+    stored as an extra key so downstream error metrics against min_eig are
+    interpretable; ignored by the reference schema consumers."""
     n = len(paulis[0])
     out = {
         "weights": np.asarray(weights, dtype=np.float64),
         "paulis": np.asarray(paulis),
         "energy_shift": energy_shift,
     }
+    if eigvals_method is not None:
+        out["eigvals_method"] = np.asarray(eigvals_method)
     if eigvals is not None:
         out["eigvals"] = np.asarray(eigvals, dtype=np.float64)
     else:
