@@ -145,13 +145,33 @@ def main() -> int:
                   file=sys.stderr)
     if 8 not in results:
         return 1
+    # measured csim+COBYLA baselines (scripts/bench_baseline_cobyla.py)
+    # replace the 2^dn model where available
+    measured = {}
+    mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            measured = {int(k): v["steps_per_sec"]
+                        for k, v in json.load(f).items()}
+
+    def base_for(n):
+        if isinstance(n, int) and n in measured:
+            return measured[n], "measured"
+        return results[n][1], "modeled"
+
     sps8, base8 = results[8]
-    extra = {
-        (f"{n}q" if isinstance(n, int) else n):
-        {"steps_per_sec": round(results[n][0], 3),
-         "vs_modeled_baseline": round(results[n][0] / results[n][1], 2)}
-        for n in results if n != 8
-    }
+    extra = {}
+    for n in results:
+        if n == 8:
+            continue
+        base, kind = base_for(n)
+        extra[f"{n}q" if isinstance(n, int) else n] = {
+            "steps_per_sec": round(results[n][0], 3),
+            f"vs_{kind}_baseline": round(results[n][0] / base, 2)}
+    # the 8q headline baseline stays the PUBLISHED qulacs-CPU number
+    # (41 steps / 27 s, image/result3.png) — the strongest, least
+    # gameable anchor; the measured host row is reported alongside.
     out = {
         "metric": "env_steps_per_sec_8q_h2o",
         "value": round(sps8, 3),
@@ -159,6 +179,8 @@ def main() -> int:
         "vs_baseline": round(sps8 / base8, 2),
         "extra_sizes": extra,
     }
+    if 8 in measured:
+        out["vs_measured_host_baseline"] = round(sps8 / measured[8], 2)
     print(json.dumps(out), flush=True)
     return 0
 

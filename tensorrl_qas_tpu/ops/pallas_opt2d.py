@@ -31,6 +31,22 @@ reuse the same H psi (as v1).
 Everything else (multi-start Adam with best-iterate tracking, angle remap
 onto the post-action tape, post-action energy) matches v1 semantics;
 tests/test_pallas_opt2d.py checks numerical agreement with the XLA path.
+
+v3 extension (13 <= n <= 16, round 3): two scalability walls removed so
+the same kernel covers the reference's single-box mid-band
+(``README.md:29``):
+
+- start-broadcasts use ``pltpu.repeat`` block-tiling instead of a
+  ``(S*R, R)`` one-hot MXU matmul (that matrix alone is 8 MB at n = 16,
+  and the per-group matmul cost dominated h_apply at large R);
+- the flip-group coefficient planes can stay in HBM (``stream_w=True``)
+  and are DMA'd per group into a small VMEM buffer inside h_apply — W
+  residency no longer caps n (molecular 12q: 142 groups = 9 MB at n = 13).
+
+VMEM then holds only ~8 live (S*R, 128) f32 state planes (forward state,
+backward state + cotangent, H psi scratch, psi0 tiles), so n = 16 fits
+with n_starts <= 4 and n = 15 with 8; ``AngleOptimizer._mega2d_ready``
+does the budget arithmetic.
 """
 
 from __future__ import annotations
@@ -56,8 +72,13 @@ from tensorrl_qas_tpu.ops.pallas_apply import (
 _C = 128          # lane width (fixed by hardware)
 _LOG_C = 7
 
-MAX_DIM_2D = 4096     # n <= 12: W planes + state blocks fit VMEM
+MAX_DIM_2D = 65536    # n <= 16: streamed W planes; VMEM holds state only
 MIN_DIM_2D = 128      # n >= 7: need at least one full lane row
+VMEM_BUDGET = 48 * 2**20   # working-set ceiling used for engine selection
+                           # (v5e scoped VMEM raised via vmem_limit_bytes;
+                           # hardware-calibrated: n=16 compiles and runs
+                           # at both S=4 and S=8 with streamed W planes)
+W_RESIDENT_MAX = 4 * 2**20  # W planes above this stream from HBM
 
 
 def pauli_flip_groups(pauli, dtype=np.float32):
@@ -90,23 +111,30 @@ def pauli_flip_groups(pauli, dtype=np.float32):
 
 def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                  flips: tuple, b1: float = 0.9, b2: float = 0.999,
-                 eps: float = 1e-8, noise=None):
+                 eps: float = 1e-8, noise=None, stream_w: bool = False):
     """``noise=(p1, p2)``: in-kernel depolarizing trajectories (same
     machinery as ops/pallas_opt.py v1 — TPU PRNG re-draws per Adam
-    iteration, error Paulis ride the roll-based gate apply)."""
+    iteration, error Paulis ride the roll-based gate apply).
+    ``stream_w``: W coefficient planes live in HBM and are DMA'd per
+    group inside h_apply (large n / many groups)."""
     sr = s_batch * r_rows
     log_r = int(np.log2(r_rows))
 
     def kernel(okind, otq, ocq, oslot, nkind, ntq, ncq, nslot, mapidx,
                flip_arr, *rest):
+        w_s = ()
         if noise is not None:
             (seeds, p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref,
              active_ref, xopt_ref, enew_ref,
-             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s, nz_s) = rest
+             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s, *tail) = rest
+            if stream_w:
+                *w_s, nz_s = tail
+            else:
+                (nz_s,) = tail
         else:
             (p0re_ref, p0im_ref, wre_ref, wim_ref, starts_ref, active_ref,
              xopt_ref, enew_ref,
-             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s) = rest
+             x_s, m_s, v_s, bx_s, be_s, hr_s, hi_s, *w_s) = rest
         e = pl.program_id(0)
         r = x_s.shape[-1]
         n_gates = okind.shape[-1]
@@ -122,9 +150,13 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
         seg = (lax.broadcasted_iota(jnp.int32, (s_batch, sr), 0)
                == (lax.broadcasted_iota(jnp.int32, (s_batch, sr), 1)
                    >> log_r)).astype(jnp.float32)            # (S, SR)
-        rep_r = ((rr_col & (r_rows - 1))
-                 == lax.broadcasted_iota(jnp.int32, (sr, r_rows), 1)
-                 ).astype(jnp.float32)                       # (SR, R)
+
+        def tile_s(x):
+            """(R, C) -> (SR, C) per-start block tile.  Exact and O(SR*C);
+            replaces the old one-hot (SR, R) MXU broadcast, whose operand
+            alone is 8 MB at n = 16."""
+            return pltpu.repeat(x, s_batch, 0)
+
         slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
         slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
         row_bits = rr_col & (r_rows - 1)                     # (SR, 1)
@@ -287,14 +319,39 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
             Few groups (spin chains): the loop unrolls with STATIC flip
             masks, skipping identity roll factors at trace time.  Many
             groups (molecular, up to ~150): a fori_loop with runtime
-            masks — the unrolled form blows up the Mosaic compiler."""
+            masks — the unrolled form blows up the Mosaic compiler.
+            ``stream_w``: the (R, C) plane of each group is DMA'd from
+            HBM into a VMEM buffer just before use (W traffic is tiny
+            next to the per-group roll chain over the (SR, C) state)."""
             hr_s[:] = jnp.zeros((sr, _C), jnp.float32)
             hi_s[:] = jnp.zeros((sr, _C), jnp.float32)
-            if len(flips) <= 32:
+            if stream_w:
+                wre_buf, wim_buf, sem_re, sem_im = w_s
+
+                def group(g, _):
+                    f = flip_arr[g]
+                    cp_re = pltpu.make_async_copy(wre_ref.at[g], wre_buf,
+                                                  sem_re)
+                    cp_im = pltpu.make_async_copy(wim_ref.at[g], wim_buf,
+                                                  sem_im)
+                    cp_re.start()
+                    cp_im.start()
+                    pre = xor_mask_dyn(re, f)
+                    pim = xor_mask_dyn(im, f)
+                    cp_re.wait()
+                    cp_im.wait()
+                    wr = tile_s(wre_buf[:])                  # (SR, C)
+                    wi = tile_s(wim_buf[:])
+                    hr_s[:] = hr_s[:] + wr * pre - wi * pim
+                    hi_s[:] = hi_s[:] + wr * pim + wi * pre
+                    return 0
+
+                lax.fori_loop(0, len(flips), group, 0)
+            elif len(flips) <= 32:
                 for g, f in enumerate(flips):
                     pre, pim = xor_static(re, f), xor_static(im, f)
-                    wr = mm(rep_r, wre_ref[g])               # (SR, C)
-                    wi = mm(rep_r, wim_ref[g])
+                    wr = tile_s(wre_ref[g])                  # (SR, C)
+                    wi = tile_s(wim_ref[g])
                     hr_s[:] = hr_s[:] + wr * pre - wi * pim
                     hi_s[:] = hi_s[:] + wr * pim + wi * pre
             else:
@@ -302,8 +359,8 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                     f = flip_arr[g]
                     pre = xor_mask_dyn(re, f)
                     pim = xor_mask_dyn(im, f)
-                    wr = mm(rep_r, wre_ref[g])               # (SR, C)
-                    wi = mm(rep_r, wim_ref[g])
+                    wr = tile_s(wre_ref[g])                  # (SR, C)
+                    wi = tile_s(wim_ref[g])
                     hr_s[:] = hr_s[:] + wr * pre - wi * pim
                     hi_s[:] = hi_s[:] + wr * pim + wi * pre
                     return 0
@@ -363,8 +420,8 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
 
         old_tape = (okind, otq, ocq, oslot)
         new_tape = (nkind, ntq, ncq, nslot)
-        re0 = mm(rep_r, p0re_ref[:])                         # (SR, C)
-        im0 = mm(rep_r, p0im_ref[:])
+        re0 = tile_s(p0re_ref[:])                            # (SR, C)
+        im0 = tile_s(p0im_ref[:])
 
         x_s[:] = starts_ref[0]
         m_s[:] = jnp.zeros_like(m_s)
@@ -437,12 +494,12 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("flips", "iters", "lr", "interpret",
-                                    "noise"))
+                                    "noise", "stream_w"))
 def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                              wre, wim, flips, starts, active, *,
                              iters: int, lr: float, interpret: bool = False,
-                             noise=None, seeds=None):
-    """One launch per env step, 2D-tiled layout (7 <= n <= 12).
+                             noise=None, seeds=None, stream_w: bool = False):
+    """One launch per env step, 2D-tiled layout (7 <= n <= 16).
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32;
     p0re/p0im (Rr, C) f32 planes of psi0; wre/wim (G, Rr, C) flip-group
@@ -450,11 +507,14 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     f32; active (E, 1, R) f32.  Returns (x_opt (E, R), e_new (E,)).
 
     ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
-    depolarizing-trajectory variant.
+    depolarizing-trajectory variant.  ``stream_w=True`` keeps the W
+    planes in HBM and DMA-streams them per flip group (13 <= n <= 16 or
+    many-group molecular Hamiltonians; see module docstring).
     """
     n_env, s_batch, r = starts.shape
     r_rows = p0re.shape[0]
-    kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise)
+    kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
+                          stream_w=stream_w)
     sr = s_batch * r_rows
 
     def spec(shape, mapper):
@@ -473,6 +533,16 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                pltpu.VMEM((s_batch, 1), jnp.float32),   # best e
                pltpu.VMEM((sr, _C), jnp.float32),       # H psi re
                pltpu.VMEM((sr, _C), jnp.float32)]       # H psi im
+    if stream_w:
+        scratch += [pltpu.VMEM((r_rows, _C), jnp.float32),   # W re buffer
+                    pltpu.VMEM((r_rows, _C), jnp.float32),   # W im buffer
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA]
+        w_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)]
+    else:
+        w_specs = [shared3((n_groups, r_rows, _C)),
+                   shared3((n_groups, r_rows, _C))]
     prefetch = [*old_arrs, *new_arrs, map_idx, flips_arr]
     n_prefetch = 10
     if noise is not None:
@@ -484,8 +554,7 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
         num_scalar_prefetch=n_prefetch,
         grid=(n_env,),
         in_specs=[shared2((r_rows, _C)), shared2((r_rows, _C)),
-                  shared3((n_groups, r_rows, _C)),
-                  shared3((n_groups, r_rows, _C)),
+                  *w_specs,
                   per_e3((1, s_batch, r)), per_e3((1, 1, r))],
         out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),
                    spec((1, 1, 1), lambda e, *_: (e, 0, 0))),
@@ -493,10 +562,17 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     )
     if interpret and noise is not None:
         interpret = pltpu.InterpretParams()
+    # the scoped-VMEM compiler default (16 MB) undercuts v5e's physical
+    # VMEM; the large-n working set (live state planes + roll temporaries)
+    # needs the headroom.  Harmless for small n (it is a cap, not a
+    # reservation).
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
     x_opt, e_new = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_env, 1, r), jnp.float32),
                    jax.ShapeDtypeStruct((n_env, 1, 1), jnp.float32)),
         interpret=interpret,
+        compiler_params=None if interpret else compiler_params,
     )(*prefetch, p0re, p0im, wre, wim, starts, active)
     return x_opt[:, 0, :], e_new[:, 0, 0]

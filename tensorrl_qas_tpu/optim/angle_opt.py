@@ -92,9 +92,11 @@ class AngleOptimizer:
         self.noise_resample = "iter"
         self.pallas_interpret = False   # tests set True to run on CPU
         # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
-        # for 1024 < D <= 4096; 'v1'/'v2' force one (v2 needs D >= 128)
+        # for 1024 < D <= 65536 (n <= 16; W planes HBM-streamed above
+        # W_RESIDENT_MAX); 'v1'/'v2' force one (v2 needs D >= 128)
         self.pallas_engine = "auto"
         self._w2d = None
+        self._w2d_stream = False
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
@@ -136,7 +138,13 @@ class AngleOptimizer:
 
     def _mega2d_ready(self) -> bool:
         """Prepare flip-grouped Pauli planes for the 2D-tiled mega-kernel
-        (ops/pallas_opt2d.py); usable for 128 <= D <= 4096."""
+        (ops/pallas_opt2d.py); usable for 128 <= D <= 65536 (n <= 16).
+
+        Decides W-plane placement: VMEM-resident below W_RESIDENT_MAX,
+        HBM-streamed above; rejects configurations whose live state
+        planes (~8 f32 (n_starts*R, 128) blocks through the backward
+        pass) exceed the VMEM budget — at n = 16 that means
+        n_starts <= 4."""
         if self._w2d is not None:
             return True
         if self._pauli_obj is None:
@@ -144,13 +152,23 @@ class AngleOptimizer:
         from tensorrl_qas_tpu.ops.pallas_opt2d import (
             MAX_DIM_2D,
             MIN_DIM_2D,
+            VMEM_BUDGET,
+            W_RESIDENT_MAX,
             pauli_flip_groups,
         )
 
         d = 1 << self._pauli_obj.n_qubits
         if not (MIN_DIM_2D <= d <= MAX_DIM_2D):
             return False
+        r_rows = d // 128
+        state_bytes = 8 * self.n_starts * r_rows * 128 * 4
         wre, wim, flips = pauli_flip_groups(self._pauli_obj)
+        w_bytes = 2 * len(flips) * r_rows * 128 * 4
+        stream = w_bytes > W_RESIDENT_MAX
+        resident = (2 * r_rows * 128 * 4) if stream else w_bytes
+        if state_bytes + resident > VMEM_BUDGET:
+            return False
+        self._w2d_stream = stream
         self._w2d = (jnp.asarray(wre), jnp.asarray(wim), flips)
         return True
 
@@ -531,7 +549,8 @@ class AngleOptimizer:
                     wre, wim, flips, starts, active[:, None, :],
                     iters=self.iters, lr=self.lr,
                     interpret=self.pallas_interpret,
-                    noise=kernel_noise, seeds=kernel_seeds)
+                    noise=kernel_noise, seeds=kernel_seeds,
+                    stream_w=getattr(self, "_w2d_stream", False))
         elif self.use_pallas and (self.pallas_interpret
                                   or psi0[0].shape[-1] >= 128):
             # composed kernels need the 128-lane minimum on real hardware

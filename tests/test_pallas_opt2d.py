@@ -127,6 +127,61 @@ def test_engine_auto_selection():
         assert opt._pick_engine() == want
 
 
+def test_v3_streamed_w_matches_resident():
+    """stream_w=True (W planes DMA'd from HBM per group) must reproduce
+    the VMEM-resident kernel bit-for-bit at n=8 — same flip groups, same
+    roll chain, only the W residency differs."""
+    n = 8
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 20, seed=6, iters=5,
+                                              n_starts=2, engine="v2")
+    assert opt._mega2d_ready() and not opt._w2d_stream
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    jarrs = tuple(map(jnp.asarray, arrs))
+    key = jax.random.PRNGKey(7)
+    x_res, e_res, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots,
+                                     jarrs, map_idx, key)
+    opt._w2d_stream = True
+    x_str, e_str, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots,
+                                     jarrs, map_idx, key)
+    np.testing.assert_allclose(x_str, x_res, atol=1e-6)
+    assert e_str == pytest.approx(e_res, abs=1e-6)
+
+
+def test_v3_beyond_v2_ceiling_n13():
+    """n=13 (D=8192) exceeds the round-2 v2 cap (MAX_DIM_2D was 4096);
+    the extended kernel must agree with the XLA energy."""
+    n = 13
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 12, seed=5, iters=0,
+                                              n_starts=1, engine="v2")
+    assert opt._mega2d_ready()
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    jarrs = tuple(map(jnp.asarray, arrs))
+    x2, e2, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                               map_idx, jax.random.PRNGKey(1))
+    opt_ref = AngleOptimizer(ps.device_arrays(jnp.complex64),
+                             dtype=jnp.complex64)
+    e_ref = opt_ref.energy(psi0_ri, jarrs, x0)
+    assert e2 == pytest.approx(e_ref, abs=1e-4)
+
+
+def test_v3_budget_selection():
+    """Engine selection does the VMEM arithmetic: n=14 heisenberg is
+    v2-resident; n=16 streams its W planes (hardware-calibrated: n=16
+    compiles and runs at S=8 with the raised scoped-VMEM limit)."""
+    for n, n_starts, want, want_stream in [(14, 8, "v2", False),
+                                           (16, 8, "v2", True),
+                                           (16, 4, "v2", True)]:
+        paulis, weights = heisenberg_hamiltonian(n)
+        ps = PauliSum.from_strings(paulis, weights, n)
+        opt = AngleOptimizer(ps.device_arrays(jnp.complex64),
+                             n_starts=n_starts, dtype=jnp.complex64,
+                             use_pallas=True)
+        opt._pauli_obj = ps
+        assert opt._pick_engine() == want, (n, n_starts)
+        if want_stream is not None and want == "v2":
+            assert opt._w2d_stream == want_stream
+
+
 def test_v2_dynamic_group_path():
     """Molecular Hamiltonians exceed the 32-group static-unroll cap and
     take the fori_loop path with runtime flip masks; it must agree with
