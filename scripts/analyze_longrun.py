@@ -18,8 +18,11 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
 from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
