@@ -32,16 +32,22 @@ import numpy as np
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
-SIZES = os.environ.get("BENCH_SIZES", "8,10,12")
+SIZES = os.environ.get("BENCH_SIZES", "8,10,12,14")
 NOISY = int(os.environ.get("BENCH_NOISY", "1"))  # add a noisy 8q row
 
 BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 
 # size -> (family, config, n_envs, timed-iters scale, modeled baseline)
+# (the modeled 2^dn baselines are superseded per-size when a measured
+# BASELINE_MEASURED.json exists — scripts/bench_baseline_cobyla.py)
 ROWS = {
     8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg", 64, 1.0, BASE_8Q),
     10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg", 32, 0.5, BASE_8Q / 4),
     12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg", 16, 0.25, BASE_8Q / 16),
+    14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg", 16, 0.25,
+         BASE_8Q / 64),
+    16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg", 8, 0.25,
+         BASE_8Q / 256),
 }
 
 

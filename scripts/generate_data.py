@@ -88,7 +88,7 @@ def main() -> int:
                                args.mapping)
     npz_path = out / npz_rel
     if not args.from_npz:
-        if args.qubits > 14:
+        if args.qubits > 13:   # n=14 dense eigvalsh is ~4e12 flops: hours
             # dense diagonalization infeasible: DMRG extremal eigenvalues
             # (partial eigvals are schema-legal; min/max_eig is all the
             # loader consumes)

@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vectorized mode: rescale epsilon_decay so epsilon "
                         "follows the reference's per-env-step schedule "
                         "(DeepQ.py:134-137) regardless of replica count")
+    p.add_argument("--global_iters", type=int, default=0,
+                   help="override [non_local_opt] global_iters (per-step "
+                        "optimizer iterations; 0 = use config)")
+    p.add_argument("--n_starts", type=int, default=0,
+                   help="override the multi-start count of the per-step "
+                        "angle optimizer (0 = default 8)")
     p.add_argument("--stop_at_error", type=float, default=0.0,
                    help="vectorized mode: stop early once best_error is at "
                         "or below this AND --stop_min_successes episodes "
@@ -122,6 +128,10 @@ def main(argv=None) -> int:
 
     np.random.seed(args.seed)
 
+    if args.global_iters:
+        conf["non_local_opt"]["global_iters"] = args.global_iters
+    if args.n_starts:
+        conf["env"]["n_starts"] = args.n_starts
     env_cfg = EnvConfig.from_conf(conf, tn_placement=tn_placement,
                                   noise_mode=noise_mode, seed=args.seed,
                                   optim_alg=args.optim)
