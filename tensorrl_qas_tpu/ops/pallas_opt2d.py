@@ -78,7 +78,10 @@ VMEM_BUDGET = 48 * 2**20   # working-set ceiling used for engine selection
                            # (v5e scoped VMEM raised via vmem_limit_bytes;
                            # hardware-calibrated: n=16 compiles and runs
                            # at both S=4 and S=8 with streamed W planes)
-W_RESIDENT_MAX = 4 * 2**20  # W planes above this stream from HBM
+W_RESIDENT_MAX = 12 * 2**20  # W planes above this stream from HBM
+                             # (12q molecular = 9.3 MB stays resident —
+                             # the proven round-2 configuration; 13q+
+                             # molecular and 16q chains stream)
 
 
 def pauli_flip_groups(pauli, dtype=np.float32):

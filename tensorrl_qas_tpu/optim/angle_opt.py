@@ -164,7 +164,11 @@ class AngleOptimizer:
         state_bytes = 8 * self.n_starts * r_rows * 128 * 4
         wre, wim, flips = pauli_flip_groups(self._pauli_obj)
         w_bytes = 2 * len(flips) * r_rows * 128 * 4
-        stream = w_bytes > W_RESIDENT_MAX
+        # stream when the planes are big OR at n=16 where the state
+        # planes alone dominate — both cutoffs hardware-probed (resident:
+        # 12q molecular 9.3 MB, 13-15q chains; streamed: 16q, and any
+        # many-group molecular case past 12q)
+        stream = w_bytes > W_RESIDENT_MAX or d > 32768
         resident = (2 * r_rows * 128 * 4) if stream else w_bytes
         if state_bytes + resident > VMEM_BUDGET:
             return False
