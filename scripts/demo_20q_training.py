@@ -58,6 +58,13 @@ def main() -> int:
     p.add_argument("--num_layers", type=int, default=30)
     p.add_argument("--global_iters", type=int, default=20)
     p.add_argument("--n_starts", type=int, default=4)
+    p.add_argument("--tn_placement", choices=["fixed", "in_state"],
+                   default="fixed",
+                   help="fixed = warm start compiled to a statevector "
+                        "once, per-step tape is the RL gates only (the "
+                        "reference's 20q mode and ~8x cheaper per step "
+                        "on the emulated mesh); in_state re-optimizes "
+                        "the ~250 embedded warm-start angles every step")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results_longrun_r3/demo20q.json")
     args = p.parse_args()
@@ -68,7 +75,8 @@ def main() -> int:
 
     cfg = EnvConfig(
         num_qubits=20, num_layers=args.num_layers, ham_type="heisenberg",
-        tn_placement="in_state", tn_init=1, tn_bond=2, accept_err=1e-3,
+        tn_placement=args.tn_placement, tn_init=1, tn_bond=2,
+        accept_err=1e-3,
         curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
                          "accept_err": 1e-3},
         optim_alg="adam", global_iters=args.global_iters,
