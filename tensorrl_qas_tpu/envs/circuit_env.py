@@ -160,6 +160,11 @@ class EnvConfig:
         )
 
 
+# warm-start statevectors keyed by (qasm path, dtype) — see the memo
+# note inside CircuitEnv.__init__
+_TN_PSI_CACHE: dict = {}
+
+
 class CircuitEnv:
     """Gym-style episodic environment: one gate per step, energy reward."""
 
@@ -199,15 +204,27 @@ class CircuitEnv:
                 rdt = (np.float32 if self.dtype == jnp.complex64
                        else np.float64)
 
-                def _tn(x):
-                    psi = apply_tape(zero_state(n, self.dtype),
-                                     *map(jnp.asarray, self.tn_tape.arrays()),
-                                     x)
-                    return jnp.real(psi), jnp.imag(psi)
+                # Memoized process-wide: a 64-replica VectorCircuitEnv
+                # builds 64 envs over the SAME warm-start file, and each
+                # jax.jit(_tn) wrapper would otherwise recompile the
+                # whole tape remotely (the axon backend does not serve
+                # the persistent compilation cache) — ~30-60 s x B of
+                # pure compile wait at 10q+.
+                memo_key = (str(qasm_path), str(self.dtype))
+                cached = _TN_PSI_CACHE.get(memo_key)
+                if cached is not None:
+                    self._tn_psi = cached
+                else:
+                    def _tn(x):
+                        psi = apply_tape(
+                            zero_state(n, self.dtype),
+                            *map(jnp.asarray, self.tn_tape.arrays()), x)
+                        return jnp.real(psi), jnp.imag(psi)
 
-                re, im = jax.jit(_tn)(self.tn_tape.x0().astype(rdt))
-                self._tn_psi = (np.asarray(re) + 1j * np.asarray(im)).astype(
-                    np.dtype(self.dtype))
+                    re, im = jax.jit(_tn)(self.tn_tape.x0().astype(rdt))
+                    self._tn_psi = (np.asarray(re) + 1j * np.asarray(im)
+                                    ).astype(np.dtype(self.dtype))
+                    _TN_PSI_CACHE[memo_key] = self._tn_psi
         self.num_layers_termination = cfg.num_layers - self.tn_depth
 
         # --- action space ---------------------------------------------------
