@@ -115,3 +115,38 @@ def test_agent_test_saves_best_per_threshold(tmp_path):
                     threshold=conf["env"]["accept_err"])
     if r2[0] is not None and saver.stats["test"][2]["errors"][-1] >= err0:
         assert best.stat().st_mtime_ns == first_mtime
+
+
+def test_cli_optimizer_budget_overrides():
+    """--global_iters/--n_starts flow from the CLI into EnvConfig."""
+    from tensorrl_qas_tpu.train.cli import build_parser, infer_modes
+    from tensorrl_qas_tpu.train.config import get_config
+
+    args = build_parser().parse_args(
+        ["--config", "heisenberg_5q_TNbond2",
+         "--experiment_name", "TensorRL_fixed/",
+         "--global_iters", "321", "--n_starts", "5"])
+    conf = get_config(args.experiment_name, f"{args.config}.cfg")
+    if args.global_iters:
+        conf["non_local_opt"]["global_iters"] = args.global_iters
+    if args.n_starts:
+        conf["env"]["n_starts"] = args.n_starts
+    cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
+    assert cfg.global_iters == 321
+    assert cfg.n_starts == 5
+    assert infer_modes("TensorRL_fixed/", "x_noise_restricted")[1:] == (
+        "shot", "hexagon")
+
+
+def test_tn_psi_memoized_across_envs():
+    """Fixed-TN warm-start statevector is computed once per (qasm, dtype)
+    process-wide — a 64-replica vector env must not pay 64 compiles."""
+    from tensorrl_qas_tpu.envs.circuit_env import _TN_PSI_CACHE
+
+    conf = small_conf()
+    cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
+    e1 = CircuitEnv(cfg)
+    key_count = len(_TN_PSI_CACHE)
+    e2 = CircuitEnv(cfg)
+    assert len(_TN_PSI_CACHE) == key_count
+    assert e1._tn_psi is e2._tn_psi
