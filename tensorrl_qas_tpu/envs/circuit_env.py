@@ -280,10 +280,17 @@ class CircuitEnv:
             use_pallas = (jax.default_backend() not in ("cpu",)
                           and (1 << n) <= 4096)
         if cfg.mesh_shape:
-            # amplitude-sharded scale-out path over an (amp, dp) mesh
-            if cfg.noise_mode != "none":
+            # amplitude-sharded scale-out path over an (amp, dp) mesh;
+            # depolarizing trajectories ride it as tape extensions
+            # (optim/sharded_opt.py), shot noise stays single-chip
+            if cfg.noise_mode not in ("none", "depolarizing"):
                 raise NotImplementedError(
-                    "noise modes are single-chip only (mesh_shape unset)")
+                    "sharded path supports noise none/depolarizing "
+                    "(shot noise is single-chip only)")
+            if cfg.noise_mode == "depolarizing" and cfg.n_traj != 1:
+                raise NotImplementedError(
+                    "sharded depolarizing runs single-trajectory "
+                    "(n_traj=1), like the mega-kernel path")
             from tensorrl_qas_tpu.optim.sharded_opt import \
                 ShardedAngleOptimizer
             from tensorrl_qas_tpu.parallel.mesh import make_mesh
@@ -293,7 +300,9 @@ class CircuitEnv:
             self.optimizer = ShardedAngleOptimizer(
                 self.mesh, n, self.problem.pauli, iters=cfg.global_iters,
                 n_starts=cfg.n_starts, lr=cfg.adam_lr,
-                restart_scale=cfg.restart_scale, dtype=self.dtype)
+                restart_scale=cfg.restart_scale, dtype=self.dtype,
+                noise_mode=cfg.noise_mode, noise_p1=noise_p1,
+                noise_p2=noise_p2, noise_resample=cfg.noise_resample)
         else:
             self.mesh = None
             self.optimizer = AngleOptimizer(

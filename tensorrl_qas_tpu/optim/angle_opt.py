@@ -43,6 +43,52 @@ _CX, _X = int(GateKind.CX), int(GateKind.X)
 _NONE = int(GateKind.NONE)
 
 
+def sample_depolarizing_kinds(kind, key, p1, p2):
+    """Per-gate depolarizing draw as *gate kinds* for the two noise slots
+    that follow each real gate (target slot, control slot).
+
+    Same distribution as ``sim.noise.apply_tape_depolarizing``: after a
+    rotation, prob ``p1`` of a uniform Pauli on the target; after a CX,
+    prob ``p2`` of one of the 15 non-identity Pauli pairs (qulacs
+    TwoQubitDepolarizingNoise convention).  Returns int32 kind arrays
+    shaped like ``kind`` (NONE = no error).  Shared by the single-chip
+    optimizer and ``optim.sharded_opt`` (trajectory noise on the mesh).
+    """
+    ku, k1, kj = jax.random.split(key, 3)
+    u = jax.random.uniform(ku, kind.shape)
+    is_rot = (kind >= _RX) & (kind <= _RZ)
+    is_cx = kind == _CX
+    fire1 = is_rot & (u < p1)
+    fire2 = is_cx & (u < p2)
+    code1 = jax.random.randint(k1, kind.shape, 1, 4)
+    j = jax.random.randint(kj, kind.shape, 1, 16)
+
+    def pk(code):       # 0 -> NONE, 1..3 -> X/Y/Z
+        return jnp.where(code == 0, _NONE, _X + code - 1)
+
+    kt = jnp.where(fire1, pk(code1),
+                   jnp.where(fire2, pk(j % 4), _NONE))
+    kc = jnp.where(fire2, pk(j // 4), _NONE)
+    return kt.astype(kind.dtype), kc.astype(kind.dtype)
+
+
+def extend_tape_arrays(arrs, kt, kc):
+    """Interleave sampled noise-slot kinds into a 3x-length tape:
+    position 3g = real gate, 3g+1 = Pauli-on-target slot, 3g+2 =
+    Pauli-on-control slot (NONE when the draw didn't fire).  Works for
+    (G,) tapes and any leading batch dims."""
+    kind, tq, cq, slot = arrs
+    g = kind.shape[-1]
+    out_shape = kind.shape[:-1] + (3 * g,)
+    neg1 = jnp.full_like(kind, -1)
+    ext_kind = jnp.stack([kind, kt, kc], axis=-1).reshape(out_shape)
+    ext_tq = jnp.stack([tq, tq, jnp.maximum(cq, 0)],
+                       axis=-1).reshape(out_shape)
+    ext_cq = jnp.stack([cq, neg1, neg1], axis=-1).reshape(out_shape)
+    ext_slot = jnp.stack([slot, neg1, neg1], axis=-1).reshape(out_shape)
+    return ext_kind, ext_tq, ext_cq, ext_slot
+
+
 class AngleOptimizer:
     """Compiled per-step angle optimizer bound to one problem + tape shape.
 
@@ -331,46 +377,12 @@ class AngleOptimizer:
     # O(iters) kernel launches instead of O(iters * gates) -----------------
 
     def _sample_noise_kinds(self, kind, key):
-        """Per-gate depolarizing draw as *gate kinds* for the two noise
-        slots that follow each real gate (target slot, control slot).
-
-        Same distribution as ``sim.noise.apply_tape_depolarizing``: after a
-        rotation, prob ``p1`` of a uniform Pauli on the target; after a CX,
-        prob ``p2`` of one of the 15 non-identity Pauli pairs (qulacs
-        TwoQubitDepolarizingNoise convention).  Returns int32 kind arrays
-        shaped like ``kind`` (NONE = no error).
-        """
-        ku, k1, kj = jax.random.split(key, 3)
-        u = jax.random.uniform(ku, kind.shape)
-        is_rot = (kind >= _RX) & (kind <= _RZ)
-        is_cx = kind == _CX
-        fire1 = is_rot & (u < self.noise_p1)
-        fire2 = is_cx & (u < self.noise_p2)
-        code1 = jax.random.randint(k1, kind.shape, 1, 4)
-        j = jax.random.randint(kj, kind.shape, 1, 16)
-
-        def pk(code):       # 0 -> NONE, 1..3 -> X/Y/Z
-            return jnp.where(code == 0, _NONE, _X + code - 1)
-
-        kt = jnp.where(fire1, pk(code1),
-                       jnp.where(fire2, pk(j % 4), _NONE))
-        kc = jnp.where(fire2, pk(j // 4), _NONE)
-        return kt.astype(kind.dtype), kc.astype(kind.dtype)
+        return sample_depolarizing_kinds(kind, key, self.noise_p1,
+                                         self.noise_p2)
 
     @staticmethod
     def _extend_arrs(arrs, kt, kc):
-        """Interleave the sampled noise-slot kinds into a 3x-length tape:
-        position 3g = real gate, 3g+1 = Pauli-on-target slot, 3g+2 =
-        Pauli-on-control slot (NONE when the draw didn't fire)."""
-        kind, tq, cq, slot = arrs
-        e, g = kind.shape
-        neg1 = jnp.full_like(kind, -1)
-        ext_kind = jnp.stack([kind, kt, kc], axis=-1).reshape(e, 3 * g)
-        ext_tq = jnp.stack([tq, tq, jnp.maximum(cq, 0)],
-                           axis=-1).reshape(e, 3 * g)
-        ext_cq = jnp.stack([cq, neg1, neg1], axis=-1).reshape(e, 3 * g)
-        ext_slot = jnp.stack([slot, neg1, neg1], axis=-1).reshape(e, 3 * g)
-        return ext_kind, ext_tq, ext_cq, ext_slot
+        return extend_tape_arrays(arrs, kt, kc)
 
     def _fused_step_pallas(self, psi0_ri, old_arrs, x0, active, new_arrs,
                            map_idx, key):

@@ -10,6 +10,10 @@ step, exactly like the single-chip fused path.
 This is the capability the reference caps at 20 qubits on one CPU
 (``README.md:29``, qulacs statevector): here n is bounded by per-chip
 HBM / amp-axis size (2^n * 8 bytes / n_amp per chip), not by one device.
+Depolarizing trajectories ride the same sharded programs as tape
+extensions (X/Y/Z error gates in reserved slots, the single-chip mega
+path's encoding), with both reference 'iter' re-sampling and quenched
+'step' semantics; shot noise stays single-chip.
 
 Used by ``envs/circuit_env.py`` when ``EnvConfig.mesh_shape`` is set;
 tests/test_sharded_training.py drives a 20-qubit env end-to-end on a
@@ -34,15 +38,29 @@ class ShardedAngleOptimizer:
       n_qubits: problem size; 2^n divisible by the amp axis.
       pauli: PauliSum (grouped by device-flip mask at setup).
       iters/n_starts/lr/restart_scale: as AngleOptimizer.
+      noise_mode/noise_p1/noise_p2/noise_resample: 'none' or
+        'depolarizing' single-trajectory tape-extension noise (as the
+        single-chip mega path; reference probabilities
+        ``VQE_qulacs_noise.py:32,45``).
     """
 
     def __init__(self, mesh, n_qubits: int, pauli, iters: int = 100,
                  n_starts: int = 8, lr: float = 0.1,
-                 restart_scale: float = 0.1, dtype=jnp.complex64):
+                 restart_scale: float = 0.1, dtype=jnp.complex64,
+                 noise_mode: str = "none", noise_p1: float = 0.01,
+                 noise_p2: float = 0.05, noise_resample: str = "iter"):
+        if noise_mode not in ("none", "depolarizing"):
+            raise NotImplementedError(
+                f"sharded path supports noise_mode none/depolarizing, "
+                f"got {noise_mode!r} (shot noise is single-chip only)")
         self.mesh = mesh
         self.n = n_qubits
         self.sim = ShardedSimulator(mesh, n_qubits, pauli, dtype=dtype)
         self.iters = iters
+        self.noise_mode = noise_mode
+        self.noise_p1 = float(noise_p1)
+        self.noise_p2 = float(noise_p2)
+        self.noise_resample = noise_resample
         # the starts batch rides dp; round up to a multiple of its size
         n_dp = mesh.shape.get("dp", 1)
         self.n_starts = max(n_starts, n_dp)
@@ -101,10 +119,21 @@ class ShardedAngleOptimizer:
         ev = self.sim.expectation_batched(psi)
         return jnp.sum(ev), ev
 
+    def _extend_noisy(self, arrs, key):
+        """One sampled depolarizing trajectory as a 3x tape extension
+        (X/Y/Z error gates in reserved slot = -1 positions); shared by the
+        S starts, exactly like the single-chip mega path."""
+        from tensorrl_qas_tpu.optim.angle_opt import (
+            extend_tape_arrays, sample_depolarizing_kinds)
+
+        kt, kc = sample_depolarizing_kinds(arrs[0], key, self.noise_p1,
+                                           self.noise_p2)
+        return extend_tape_arrays(arrs, kt, kc)
+
     def _fused_step(self, psi0_b, old_arrs, x0, active, new_arrs, map_idx,
                     key):
         b1, b2, eps = 0.9, 0.999, 1e-8
-        kn, _ = jax.random.split(key)
+        kn, knz = jax.random.split(key)
         noise = jax.random.normal(kn, (self.n_starts, x0.shape[0]),
                                   dtype=x0.dtype) * self.restart_scale
         noise = noise.at[0].set(0.0)                  # start 0 = warm start
@@ -112,13 +141,30 @@ class ShardedAngleOptimizer:
         starts = jax.lax.with_sharding_constraint(
             starts, NamedSharding(self.mesh, P("dp")))
 
+        noisy = self.noise_mode == "depolarizing"
+        resample = noisy and self.noise_resample == "iter"
+        if noisy and not resample:
+            # quench ONE realization per env step into the tapes
+            k_old, k_new = jax.random.split(jax.random.fold_in(knz, 7))
+            old_arrs = self._extend_noisy(old_arrs, k_old)
+            new_arrs = self._extend_noisy(new_arrs, k_new)
+
+        def arrs_at(i):
+            # 'iter' reference semantics: a fresh trajectory every
+            # optimizer evaluation (VQE_qulacs_noise.py re-simulates the
+            # stochastic circuit per COBYLA nfev)
+            if resample:
+                return self._extend_noisy(old_arrs, jax.random.fold_in(
+                    knz, i))
+            return old_arrs
+
         val_and_grad = jax.value_and_grad(
-            lambda xb: self._mean_and_each(psi0_b, old_arrs, xb),
+            lambda xb, arrs: self._mean_and_each(psi0_b, arrs, xb),
             has_aux=True)
 
         def step(carry, i):
             x, m, v, best_x, best_e = carry
-            (_, ev), g = val_and_grad(x)
+            (_, ev), g = val_and_grad(x, arrs_at(i))
             g = g * active[None, :]
             better = ev < best_e
             best_x = jnp.where(better[:, None], x, best_x)
@@ -134,7 +180,7 @@ class ShardedAngleOptimizer:
                 starts, jnp.full((self.n_starts,), jnp.inf, x0.dtype))
         (x, _, _, best_x, best_e), _ = jax.lax.scan(
             step, init, jnp.arange(self.iters))
-        _, ev = self._mean_and_each(psi0_b, old_arrs, x)
+        _, ev = self._mean_and_each(psi0_b, arrs_at(self.iters), x)
         better = ev < best_e
         best_x = jnp.where(better[:, None], x, best_x)
         best_e = jnp.where(better, ev, best_e)
@@ -143,6 +189,9 @@ class ShardedAngleOptimizer:
         x_opt = best_x[sel]
         x_new = jnp.where(map_idx >= 0, x_opt[jnp.maximum(map_idx, 0)], 0.0)
         xb_new = jnp.broadcast_to(x_new, (self.n_starts, x_new.shape[0]))
+        if resample:
+            new_arrs = self._extend_noisy(
+                new_arrs, jax.random.fold_in(knz, self.iters + 1))
         _, ev_new = self._mean_and_each(psi0_b, new_arrs, xb_new)
         return x_opt, ev_new[0]
 
@@ -161,23 +210,23 @@ class ShardedAngleOptimizer:
 
     # -- single energy ----------------------------------------------------------
 
-    def _energy_one(self, psi0_b, arrs, x):
+    def _energy_one(self, psi0_b, arrs, x, key):
+        if self.noise_mode == "depolarizing":
+            arrs = self._extend_noisy(arrs, key)
         xb = jnp.broadcast_to(x, (self.n_starts, x.shape[0]))
         _, ev = self._mean_and_each(psi0_b, arrs, xb)
         return ev[0]
 
     def energy(self, psi0, tape_arrays, x, key=None) -> float:
-        """Exact (noiseless) <H> of the tape at angles ``x``.
-
-        ``key`` is accepted for AngleOptimizer interface parity (the env
-        passes one unconditionally) but has no effect: the sharded path is
-        deterministic — depolarizing noise is deliberately unsupported here
-        (``CircuitEnv`` raises when combining ``mesh_shape`` with a noise
-        mode; the scale-out path targets the reference's noiseless 20q
-        claim, README.md:29)."""
-        del key
+        """<H> of the tape at angles ``x``: exact when noiseless; one
+        sampled depolarizing trajectory (keyed by ``key``) when
+        ``noise_mode='depolarizing'`` — the same single-trajectory
+        semantics as the single-chip path (shot noise stays single-chip
+        only)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
         x = jnp.asarray(np.asarray(x, dtype=self.rdtype))
         psi0_b = self._psi0_batched(psi0)
         return float(self._energy_jit(psi0_b,
                                       tuple(map(jnp.asarray, tape_arrays)),
-                                      x))
+                                      x, key))
