@@ -79,6 +79,7 @@ def bench_size(n_qubits: int, noisy: bool = False):
     except Exception as exc:  # noqa: BLE001
         print(f"# pallas path failed ({type(exc).__name__}); "
               "falling back to XLA", file=sys.stderr)
+        print(f"#   {str(exc).splitlines()[0][:300]}", file=sys.stderr)
         import dataclasses
 
         env_cfg = dataclasses.replace(env_cfg, use_pallas="off")

@@ -273,12 +273,14 @@ class CircuitEnv:
         elif cfg.use_pallas == "off":
             use_pallas = False
         else:
-            # v1 mega-kernel covers D <= 1024; the 2D-tiled v2 extends the
-            # fast path to D <= 4096 (n <= 12, ops/pallas_opt2d.py).  Noise
-            # modes run the composed kernels (sampled-tape-extension
-            # trajectories / shot term), capped by the 3x extended tape.
+            # v1 mega-kernel covers D <= 1024; the 2D-tiled v2/v3 extends
+            # the fast path to D <= 65536 (n <= 16, ops/pallas_opt2d.py —
+            # W planes HBM-streamed past n = 12; at n = 16 the engine
+            # itself requires n_starts <= 4 and _pick_engine falls back
+            # when unmet).  Noise modes run in-kernel (v1/v2) or via the
+            # composed kernels (shot / n_traj > 1).
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and (1 << n) <= 4096)
+                          and (1 << n) <= 65536)
         if cfg.mesh_shape:
             # amplitude-sharded scale-out path over an (amp, dp) mesh;
             # depolarizing trajectories ride it as tape extensions
