@@ -300,11 +300,31 @@ class AngleOptimizer:
 
     # -- adam (on-device) -------------------------------------------------------
 
+    def _energy_for_grad(self, psi0, kind, tq, cq, slot, x, key):
+        """Energy as used inside gradient loops.
+
+        Unitary cases (noiseless / shot) go through the adjoint-mode VJP
+        (sim/adjoint.py): O(1)-in-gates residual memory instead of one
+        stored statevector per gate per Adam iteration — the difference
+        between fitting and 33 GB of residuals at 14q.  Depolarizing
+        keeps the stored-residual autodiff (its gates are sampled inside
+        ``apply_tape_depolarizing``)."""
+        if self.noise_mode == "depolarizing":
+            return self._energy(psi0, kind, tq, cq, slot, x, key)
+        from tensorrl_qas_tpu.sim.adjoint import adjoint_energy
+
+        e = adjoint_energy(self.enable_2q, self._as_complex(psi0), kind,
+                           tq, cq, slot, x, *self.pauli)
+        if self.noise_mode == "shot" and self.n_shots:
+            e = e + shot_noise(jnp.asarray(self.pauli[0]), self.n_shots, key)
+        return e
+
     def _adam_single(self, psi0, kind, tq, cq, slot, x0, active, key):
         """Fixed-iteration Adam tracking the best iterate seen."""
         b1, b2, eps = 0.9, 0.999, 1e-8
         val_and_grad = jax.value_and_grad(
-            lambda x, k: self._energy(psi0, kind, tq, cq, slot, x, k))
+            lambda x, k: self._energy_for_grad(psi0, kind, tq, cq, slot,
+                                               x, k))
 
         def step(carry, i):
             x, m, v, best_x, best_e = carry
