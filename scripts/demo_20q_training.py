@@ -66,6 +66,13 @@ def main() -> int:
                         "on the emulated mesh); in_state re-optimizes "
                         "the ~250 embedded warm-start angles every step")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", default="2,4",
+                   help="'amp,dp' sharded mesh (default 2,4) or 'none' "
+                        "for the SINGLE-CHIP path: the adjoint-gradient "
+                        "XLA optimizer (sim/adjoint.py) holds 20q "
+                        "training in a few statevectors of memory, so "
+                        "one chip covers the reference's 20q claim "
+                        "without any mesh")
     p.add_argument("--out", default="results_longrun_r3/demo20q.json")
     args = p.parse_args()
 
@@ -80,17 +87,24 @@ def main() -> int:
         curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
                          "accept_err": 1e-3},
         optim_alg="adam", global_iters=args.global_iters,
-        n_starts=args.n_starts, sim_dtype="complex64", mesh_shape=(2, 4),
+        n_starts=args.n_starts, sim_dtype="complex64",
+        mesh_shape=(None if args.mesh == "none" else
+                    tuple(int(v) for v in args.mesh.split(","))),
         seed=args.seed)
     t0 = time.time()
     env = CircuitEnv(cfg)
-    assert env.mesh is not None, "sharded path not active"
+    if args.mesh == "none":
+        assert env.mesh is None
+        mesh_desc = "single-chip (adjoint XLA path)"
+    else:
+        assert env.mesh is not None, "sharded path not active"
+        mesh_desc = dict(env.mesh.shape)
     agent = make_agent(conf, env.action_size, env.state_size,
                        seed=args.seed)
-    print(f"setup (incl. first sharded compile): {time.time()-t0:.1f}s; "
-          f"mesh axes {dict(env.mesh.shape)}", flush=True)
+    print(f"setup (incl. first compile): {time.time()-t0:.1f}s; "
+          f"mesh: {mesh_desc}", flush=True)
 
-    record = {"n_qubits": 20, "mesh": dict(env.mesh.shape),
+    record = {"n_qubits": 20, "mesh": str(mesh_desc),
               "global_iters": args.global_iters, "n_starts": args.n_starts,
               "min_eig_bound": float(env.min_eig), "episodes": []}
     rng = np.random.default_rng(args.seed)
