@@ -158,13 +158,16 @@ class ShardedAngleOptimizer:
                     knz, i))
             return old_arrs
 
-        val_and_grad = jax.value_and_grad(
-            lambda xb, arrs: self._mean_and_each(psi0_b, arrs, xb),
-            has_aux=True)
+        def val_and_grad(xb, arrs):
+            # adjoint sweep on the mesh (ShardedSimulator.
+            # value_and_grad_batched): no per-gate forward residuals —
+            # the backward pass un-applies gates with the same ppermute
+            # exchanges, keeping >20q iterations in O(statevector) HBM
+            return self.sim.value_and_grad_batched(psi0_b, *arrs, xb)
 
         def step(carry, i):
             x, m, v, best_x, best_e = carry
-            (_, ev), g = val_and_grad(x, arrs_at(i))
+            ev, g = val_and_grad(x, arrs_at(i))
             g = g * active[None, :]
             better = ev < best_e
             best_x = jnp.where(better[:, None], x, best_x)

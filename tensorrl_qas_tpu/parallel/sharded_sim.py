@@ -35,6 +35,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tensorrl_qas_tpu.circuits.tape import GateKind
 from tensorrl_qas_tpu.sim.apply import _gate_matrix
 from tensorrl_qas_tpu.sim.expectation import PauliSum
 from tensorrl_qas_tpu.utils.bits import parity
@@ -86,6 +87,7 @@ class ShardedSimulator:
         self._apply = jax.jit(self._build_apply())
         self._energy = jax.jit(self._build_energy())
         self._apply_b = None   # built lazily: batched over a 'dp' mesh axis
+        self._vag_b = None     # built lazily: adjoint value-and-grad
         self._energy_b = None
 
     # -- construction helpers -------------------------------------------------
@@ -216,6 +218,102 @@ class ShardedSimulator:
         psi = np.zeros((batch, 1 << self.n), dtype=np.dtype(self.dtype))
         psi[:, 0] = 1.0
         return jax.device_put(psi, sharding)
+
+    # -- adjoint value-and-grad -------------------------------------------------
+
+    def _hpsi_local(self, psi_block, r, local_idx):
+        """Local block of the GLOBAL H|psi>: flip groups with device bits
+        fetch the partner block via ppermute, then a K-term scan applies
+        (H psi)[i] = sum_k w_k ip_k (1-2 parity(i & sm_k)) psi[i ^ f_k]
+        (the operator form of the expectation gather) at O(block) memory."""
+        gidx = (r.astype(jnp.int32) << self.nloc) | local_idx
+        acc = jnp.zeros_like(psi_block)
+        for g, w, flip_loc, sign_mask, iphase in self.groups:
+            if g == 0:
+                src = psi_block
+            else:
+                perm = [(rr, rr ^ g) for rr in range(self.D)]
+                src = lax.ppermute(psi_block, "amp", perm)
+
+            def term(a, wfsi):
+                wk, fk, smk, ipk = wfsi
+                signs = (1.0 - 2.0 * parity(gidx & smk).astype(
+                    jnp.float32)).astype(psi_block.dtype)
+                return a + (wk * ipk).astype(psi_block.dtype) * signs \
+                    * jnp.take(src, local_idx ^ fk, axis=-1), None
+
+            acc, _ = lax.scan(
+                term, acc,
+                (jnp.asarray(w), jnp.asarray(flip_loc),
+                 jnp.asarray(sign_mask), jnp.asarray(iphase)))
+        return acc
+
+    def _build_vag_batched(self):
+        """(B, 2^n) states x (B, R) angles -> (E (B,), dE/dx (B, R)) via
+        the adjoint sweep: forward apply, lam = H psi, then un-apply each
+        gate while accumulating Im<lam|P_g|psi> — O(1)-in-gates residual
+        memory on every device (the single-chip sweep of sim/adjoint.py
+        lifted onto the (amp, dp) mesh; sharded gates are unitary, so the
+        backward pass runs the same ppermute partner exchanges in
+        reverse)."""
+        rdt = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        x_kind = int(GateKind.X)
+
+        def vag_local(psi_blocks, kind, tq, cq, slot, angles):
+            r = lax.axis_index("amp")
+            local_idx = jnp.arange(self.block, dtype=jnp.int32)
+            rev = tuple(jnp.flip(a, axis=0)
+                        for a in (kind, tq, cq, slot))
+
+            def one(psi0_block, ang):
+                angf = ang.astype(rdt)
+
+                def fwd(p, g):
+                    k, t, c, s = g
+                    theta = jnp.where(s >= 0, angf[jnp.maximum(s, 0)], 0.0)
+                    return (self._apply_one_gate(p, k, t, c, theta, r,
+                                                 local_idx), None)
+
+                psi, _ = lax.scan(fwd, psi0_block, (kind, tq, cq, slot))
+                lam = self._hpsi_local(psi, r, local_idx)
+                e_loc = jnp.real(jnp.sum(jnp.conj(psi) * lam)).astype(rdt)
+
+                def bwd(carry, g):
+                    p, l, grad = carry
+                    k, t, c, s = g
+                    theta = jnp.where(s >= 0, angf[jnp.maximum(s, 0)], 0.0)
+                    # rotation generator = the bare Pauli gate (RX..RZ ->
+                    # X..Z); other kinds map to NONE (grad masked anyway)
+                    pk = jnp.where((k >= 1) & (k <= 3), k + x_kind - 1, 0)
+                    pg = self._apply_one_gate(p, pk, t, jnp.full_like(c, -1),
+                                              jnp.zeros((), rdt), r,
+                                              local_idx)
+                    gval = jnp.imag(jnp.sum(jnp.conj(l) * pg)).astype(rdt)
+                    grad = grad.at[jnp.maximum(s, 0)].add(
+                        jnp.where(s >= 0, gval, 0.0))
+                    z = jnp.stack([p, l])
+                    z = self._apply_one_gate(z, k, t, c, -theta, r,
+                                             local_idx)
+                    return (z[0], z[1], grad), None
+
+                grad0 = jnp.zeros(ang.shape, rdt)
+                (_, _, grad), _ = lax.scan(bwd, (psi, lam, grad0), rev)
+                return e_loc, grad
+
+            e_loc, grads = jax.vmap(one)(psi_blocks, angles)
+            return lax.psum(e_loc, "amp"), lax.psum(grads, "amp")
+
+        return jax.shard_map(
+            vag_local, mesh=self.mesh,
+            in_specs=(P("dp", "amp"), P(), P(), P(), P(), P("dp")),
+            out_specs=(P("dp"), P("dp")), check_vma=False)
+
+    def value_and_grad_batched(self, psi_batch, kind, tq, cq, slot,
+                               angles_batch):
+        """Per-row energy and gradient of the tape, adjoint-mode."""
+        if self._vag_b is None:
+            self._vag_b = jax.jit(self._build_vag_batched())
+        return self._vag_b(psi_batch, kind, tq, cq, slot, angles_batch)
 
     # -- expectation -----------------------------------------------------------
 
