@@ -83,6 +83,32 @@ def hexagon_actions_reverted(n: int) -> dict[int, list[int]]:
     return _hex_filter(all_to_all_actions_reverted(n), n, set(_HEX_EDGES_REV[n]))
 
 
+def hexagon_full_actions(n: int) -> dict[int, list[int]]:
+    """Bug-FIXED heavy-hex restricted action space (extension, not parity):
+    CNOTs on the hex edges PLUS the 3n single-qubit rotations.
+
+    The reference's restricted filter drops every rotation action
+    (``utils_topology_restrict.py`` quirk #1 above), which combined with
+    the frozen TN warm start of the ``notin_agent`` envs leaves nothing
+    to optimize — the restricted mode can never beat its warm start.
+    This variant is what the filter plainly intended: hardware-restricted
+    two-qubit connectivity with rotations still available."""
+    full = all_to_all_actions(n)
+    edges = set(_HEX_EDGES_FWD[n])
+    out = {}
+    k = 0
+    for key in sorted(full.keys()):
+        act = full[key]
+        if act[0] < n:          # CNOT action: keep hex edges only
+            if (act[0], (act[0] + act[1]) % n) in edges:
+                out[k] = act
+                k += 1
+        else:                   # rotation action: keep all
+            out[k] = act
+            k += 1
+    return out
+
+
 def su4_actions(n: int) -> dict[int, list[int]]:
     """SU(4) gate-set action dictionary (reference's vestigial richer action
     set, ``environments/VQAs/VQE_qulacs_su4.py``): two-qubit Pauli rotations
@@ -116,4 +142,8 @@ def action_dictionary(n: int, topology: str = "all_to_all",
         return all_to_all_actions_reverted(n) if reverted else all_to_all_actions(n)
     if topology == "hexagon":
         return hexagon_actions_reverted(n) if reverted else hexagon_actions(n)
+    if topology == "hexagon_full":
+        # no reverted enumeration: this is an extension with a single
+        # canonical order (CNOTs-then-rotations, forward)
+        return hexagon_full_actions(n)
     raise ValueError(f"unknown topology {topology!r}")

@@ -62,7 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--noise", choices=["none", "depolarizing", "shot"],
                    default=None)
-    p.add_argument("--topology", choices=["all_to_all", "hexagon"],
+    p.add_argument("--topology",
+                   choices=["all_to_all", "hexagon", "hexagon_full"],
                    default=None)
     p.add_argument("--gate_set", choices=["cnot", "su4"], default=None,
                    help="su4 = RXX/RYY/RZZ two-qubit rotations instead of "

@@ -90,3 +90,52 @@ def test_repeated_observe_is_stable():
     m1 = sorted(tr.observe(acts[0]))
     m2 = sorted(tr.observe(acts[0]))
     assert m1 == m2
+
+
+def test_hexagon_full_actions_extension():
+    """Bug-fixed heavy-hex space (extension): hex-edge CNOTs PLUS all
+    rotations — unlike the reference-parity 'hexagon' quirk dict, which
+    is CNOT-only and (with the frozen notin_agent warm start) can never
+    improve on the warm-start energy."""
+    from tensorrl_qas_tpu.circuits.actions import (
+        _HEX_EDGES_FWD,
+        action_dictionary,
+        hexagon_full_actions,
+    )
+
+    for n in (6, 8, 10):
+        d = hexagon_full_actions(n)
+        cnots = [a for a in d.values() if a[0] < n]
+        rots = [a for a in d.values() if a[0] == n]
+        assert len(cnots) == len(_HEX_EDGES_FWD[n])
+        assert len(rots) == 3 * n
+        for a in cnots:
+            assert (a[0], (a[0] + a[1]) % n) in set(_HEX_EDGES_FWD[n])
+        # keys are dense 0..N-1 (agent indexing contract)
+        assert sorted(d.keys()) == list(range(len(d)))
+        # dispatch + reverted alias
+        assert action_dictionary(n, "hexagon_full") == d
+        assert action_dictionary(n, "hexagon_full", reverted=True) == d
+
+
+def test_hexagon_full_env_steps_and_improves():
+    """A trainable env on the fixed-up restricted space must be able to
+    place rotations (the parity 'hexagon' space cannot)."""
+    import numpy as np
+
+    from tensorrl_qas_tpu.envs.circuit_env import CircuitEnv, EnvConfig
+
+    cfg = EnvConfig(
+        num_qubits=8, num_layers=25, ham_type="heisenberg",
+        tn_placement="in_state", tn_init=1, tn_bond=2, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=5, n_starts=2,
+        topology="hexagon_full", sim_dtype="complex64", seed=0)
+    env = CircuitEnv(cfg)
+    assert env.action_size == len(env.action_dict)
+    rot_actions = [k for k, a in env.action_dict.items() if a[0] == 8]
+    assert rot_actions, "rotations must be available"
+    env.reset()
+    _, r, _ = env.step(env.action_dict[rot_actions[0]])
+    assert np.isfinite(env.energy)
