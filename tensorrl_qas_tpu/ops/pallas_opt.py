@@ -310,12 +310,36 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("iters", "lr", "interpret", "noise"))
+# Per-env tapes ride scalar prefetch (SMEM); past ~128 envs the prefetch
+# footprint outgrows SMEM and Mosaic rejects the launch.  The public
+# wrappers split oversized batches into independent launches instead of
+# falling back to the XLA path (throughput is flat past the ~64-env knee,
+# so chunking costs nothing but keeps the fast path).
+MAX_ENV_PER_CALL = 128
+
+
+def _chunk_env_calls(fn, old_arrs, new_arrs, map_idx, starts, active,
+                     seeds, *, cap, **kw):
+    """Split a >cap env batch into per-chunk kernel launches."""
+    n_env = starts.shape[0]
+    xs, es = [], []
+    for lo in range(0, n_env, cap):
+        hi = min(n_env, lo + cap)
+        x, e = fn(tuple(a[lo:hi] for a in old_arrs),
+                  tuple(a[lo:hi] for a in new_arrs),
+                  map_idx[lo:hi], starts=starts[lo:hi],
+                  active=active[lo:hi],
+                  seeds=None if seeds is None else seeds[lo:hi], **kw)
+        xs.append(x)
+        es.append(e)
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(es, axis=0)
+
+
 def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
                            hre_t, him_t, starts, active, *, iters: int,
                            lr: float, interpret: bool = False,
-                           noise=None, seeds=None):
+                           noise=None, seeds=None,
+                           max_env_per_call: int | None = None):
     """One launch per env step.
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32; p0re/p0im
@@ -324,8 +348,31 @@ def fused_adam_step_pallas(old_arrs, new_arrs, map_idx, p0re, p0im,
 
     ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
     depolarizing-trajectory variant (re-sampled every Adam iteration via
-    the TPU PRNG).
+    the TPU PRNG).  Batches larger than ``MAX_ENV_PER_CALL`` are split
+    into independent launches (per-env tapes live in SMEM scalar
+    prefetch, which bounds the per-launch env count).
     """
+    cap = MAX_ENV_PER_CALL if max_env_per_call is None else max_env_per_call
+
+    def call(o, nw, mi, *, starts, active, seeds):
+        return _fused_adam_step_call(
+            o, nw, mi, p0re, p0im, hre_t, him_t, starts, active,
+            iters=iters, lr=lr, interpret=interpret, noise=noise,
+            seeds=seeds)
+
+    if starts.shape[0] > cap:
+        return _chunk_env_calls(call, old_arrs, new_arrs, map_idx,
+                                starts, active, seeds, cap=cap)
+    return call(old_arrs, new_arrs, map_idx, starts=starts, active=active,
+                seeds=seeds)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "lr", "interpret", "noise"))
+def _fused_adam_step_call(old_arrs, new_arrs, map_idx, p0re, p0im,
+                          hre_t, him_t, starts, active, *, iters: int,
+                          lr: float, interpret: bool = False,
+                          noise=None, seeds=None):
     n_env, s_batch, r = starts.shape
     d = p0re.shape[-1]
     kernel = _make_kernel(iters, lr, noise=noise)

@@ -68,6 +68,7 @@ from tensorrl_qas_tpu.ops.pallas_apply import (
     _X,
     _gate_coeffs,
 )
+from tensorrl_qas_tpu.ops.pallas_opt import MAX_ENV_PER_CALL, _chunk_env_calls
 
 _C = 128          # lane width (fixed by hardware)
 _LOG_C = 7
@@ -495,13 +496,11 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("flips", "iters", "lr", "interpret",
-                                    "noise", "stream_w"))
 def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                              wre, wim, flips, starts, active, *,
                              iters: int, lr: float, interpret: bool = False,
-                             noise=None, seeds=None, stream_w: bool = False):
+                             noise=None, seeds=None, stream_w: bool = False,
+                             max_env_per_call: int | None = None):
     """One launch per env step, 2D-tiled layout (7 <= n <= 16).
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32;
@@ -512,8 +511,33 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
     depolarizing-trajectory variant.  ``stream_w=True`` keeps the W
     planes in HBM and DMA-streams them per flip group (13 <= n <= 16 or
-    many-group molecular Hamiltonians; see module docstring).
+    many-group molecular Hamiltonians; see module docstring).  Batches
+    larger than ``pallas_opt.MAX_ENV_PER_CALL`` are split into
+    independent launches (per-env tapes live in SMEM scalar prefetch,
+    which bounds the per-launch env count).
     """
+    cap = MAX_ENV_PER_CALL if max_env_per_call is None else max_env_per_call
+
+    def call(o, nw, mi, *, starts, active, seeds):
+        return _fused_adam_step_call2d(
+            o, nw, mi, p0re, p0im, wre, wim, flips, starts, active,
+            iters=iters, lr=lr, interpret=interpret, noise=noise,
+            seeds=seeds, stream_w=stream_w)
+
+    if starts.shape[0] > cap:
+        return _chunk_env_calls(call, old_arrs, new_arrs, map_idx,
+                                starts, active, seeds, cap=cap)
+    return call(old_arrs, new_arrs, map_idx, starts=starts, active=active,
+                seeds=seeds)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("flips", "iters", "lr", "interpret",
+                                    "noise", "stream_w"))
+def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
+                            wre, wim, flips, starts, active, *,
+                            iters: int, lr: float, interpret: bool = False,
+                            noise=None, seeds=None, stream_w: bool = False):
     n_env, s_batch, r = starts.shape
     r_rows = p0re.shape[0]
     kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
