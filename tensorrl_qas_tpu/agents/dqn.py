@@ -134,6 +134,7 @@ class DQN:
                 axis=1))
         self._train = jax.jit(self._train_step)
         self._train_gather = jax.jit(self._train_step_gather)
+        self._train_burst = jax.jit(self._train_step_burst)
 
     # -- acting --------------------------------------------------------------
 
@@ -185,6 +186,34 @@ class DQN:
             params, target_params, opt_state,
             buf_states[idx], buf_actions[idx], buf_rewards[idx],
             buf_next_states[idx], buf_dones[idx], weights)
+
+    def _train_step_burst(self, params, target_params, opt_state,
+                          buf_states, buf_actions, buf_rewards,
+                          buf_next_states, buf_dones, idx_burst, step0):
+        """K sequential replay updates in ONE device call (``lax.scan``
+        over ``idx_burst`` (K, B)).  Replicates K ``replay()`` calls
+        exactly for uniform device-resident replay: the target network
+        hard-copies at the same step boundaries (before update k when
+        ``(step0 + k) % update_target_net == 0``, matching ``replay()``'s
+        copy-then-increment order).  Collapses the K-RPC dispatch cost of
+        reference-ratio training (``replays_per_iter = B``) to one
+        launch on latency-bound transports."""
+        t = self.update_target_net
+
+        def body(carry, idx):
+            params, target, opt_state, step = carry
+            target = jax.lax.cond(step % t == 0, lambda: params,
+                                  lambda: target)
+            params, opt_state, loss, _ = self._train_step(
+                params, target, opt_state, buf_states[idx],
+                buf_actions[idx], buf_rewards[idx], buf_next_states[idx],
+                buf_dones[idx], jnp.float32(1.0))
+            return (params, target, opt_state, step + 1), loss
+
+        (params, target, opt_state, _), losses = jax.lax.scan(
+            body, (params, target_params, opt_state,
+                   jnp.asarray(step0, dtype=jnp.int32)), idx_burst)
+        return params, target, opt_state, losses[-1]
 
     def _train_step(self, params, target_params, opt_state,
                     states, actions, rewards, next_states, dones, weights):
@@ -248,6 +277,32 @@ class DQN:
         # fetch_loss=False keeps dispatch fully async (no host round trip) —
         # used by latency-sensitive loops; the loss stays a device scalar.
         return float(loss) if fetch_loss else loss
+
+    def replay_burst(self, batch_size: int, k: int):
+        """K reference-ratio policy updates in ONE device call.
+
+        Semantically identical to k sequential ``replay(fetch_loss=False)``
+        calls for uniform device-resident replay (the common config);
+        PER or host-resident replay falls back to the sequential loop
+        (priority updates need a per-step host TD round trip anyway).
+        Returns the last update's loss as a device scalar.
+        """
+        if not self.device_replay or self.prioritized_replay or k == 1:
+            loss = None
+            for _ in range(k):
+                loss = self.replay(batch_size, fetch_loss=False)
+            return loss
+        idx = np.stack([self.memory.sample_indices(batch_size)[0]
+                        for _ in range(k)])
+        (self.params, self.target_params, self.opt_state,
+         loss) = self._train_burst(
+            self.params, self.target_params, self.opt_state,
+            *self.memory.buffers(), jnp.asarray(idx), self.step_counter)
+        self.step_counter += k
+        if self.epsilon > self.epsilon_min:
+            self.epsilon = max(self.epsilon * self.epsilon_decay ** k,
+                               self.epsilon_min)
+        return loss
 
     # -- checkpointing ------------------------------------------------------------
 

@@ -151,9 +151,16 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
         it += 1
 
         if len(agent.memory) > batch_size:
-            for _ in range(replays_per_iter):
-                loss = agent.replay(batch_size,
-                                    fetch_loss=(it % loss_fetch_every == 0))
+            if replays_per_iter > 1 and hasattr(agent, "replay_burst"):
+                # one device call for the whole burst (lax.scan) — keeps
+                # reference-ratio training (replays_per_iter=B) off the
+                # per-RPC latency path
+                loss = agent.replay_burst(batch_size, replays_per_iter)
+            else:
+                for _ in range(replays_per_iter):
+                    loss = agent.replay(batch_size,
+                                        fetch_loss=(it % loss_fetch_every
+                                                    == 0))
             if it % loss_fetch_every == 0 and loss is not None:
                 ep_bufs.append_loss(float(loss))
 
