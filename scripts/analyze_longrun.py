@@ -24,6 +24,13 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# analysis is host-side: force CPU before any backend use (the ambient
+# axon plugin overrides JAX_PLATFORMS, and TPUs have no complex128)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
 from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
 from tensorrl_qas_tpu.circuits.tensor_ir import (
@@ -39,13 +46,15 @@ from tensorrl_qas_tpu.train.config import get_config
 
 
 def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
-                  zero_params=False, gate_set="cnot"):
+                  zero_params=False, gate_set="cnot", return_state=False):
     """Replay an episode's action ids into a circuit; return tape stats.
 
     ``gate_set='su4'`` decodes with the 3n^2-entry su4 dictionary (2q
     actions are RXX/RYY/RZZ placements, ``circuits/actions.py:su4_actions``)
     into an ``SU4StateTensor``; the "cnots" key then counts two-qubit
-    rotations (the su4 analog of the published CNOT column)."""
+    rotations (the su4 analog of the published CNOT column).
+    ``return_state=True`` additionally returns the replayed state tensor
+    (for f64 energy re-evaluation)."""
     su4 = gate_set == "su4"
     state = (SU4StateTensor if su4 else StateTensor)(num_layers, n)
     layer_offset = 0
@@ -71,11 +80,88 @@ def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
                                  rot_qubit, 0.0)
             moments[rot_qubit] += 1
     cnots, rots, depth = state.gate_counts()
-    return {"depth": depth, "cnots": cnots, "rots": rots}
+    stats = {"depth": depth, "cnots": cnots, "rots": rots}
+    if return_state:
+        return stats, state
+    return stats
+
+
+def _rot_keys(state, n):
+    """Rotation identities (layer, axis, qubit) in to_tape slot order."""
+    ls, ax, q = np.nonzero(state.data[:, n:n + 3] == 1)
+    return list(zip(ls.tolist(), ax.tolist(), q.tolist()))
+
+
+def f64_error(actions, angles, conf, tn_placement, num_layers, action_dict,
+              tn_tape=None, zero_params=False):
+    """Exact complex128 error of a recorded step at its stored angles.
+
+    Float32 device runs report energies with an O(1e-5)-Ha residual even
+    after Rayleigh normalization (state-trajectory rounding), and runs
+    recorded before the normalization fix carry an O(1e-4) bias at
+    molecular energy scales — this recomputes |E - E_min| from the
+    summary's ``opt_ang`` at full precision on the CPU, which is the
+    apples-to-apples number against the reference's float64 qulacs/COBYLA
+    pipeline (``environments/VQAs/VQE_qulacs.py:47-86``).
+
+    Step semantics: ``opt_ang[i]`` is the optimum of the PRE-action
+    circuit, and ``errors[i]`` is the post-action tape's energy with the
+    freshly placed gate at angle 0 — so the old angles are remapped onto
+    the post-action tape by (layer, axis, qubit) identity and the new
+    rotation (if any) enters at 0, mirroring the fused step's ``map_idx``
+    permutation."""
+    import jax
+
+    # force host evaluation: the ambient axon plugin overrides
+    # JAX_PLATFORMS, and TPUs have no complex128
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from tensorrl_qas_tpu.problems.hamiltonians import load_problem
+    from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
+    from tensorrl_qas_tpu.sim.expectation import pauli_expectation
+
+    n = conf["env"]["num_qubits"]
+    prob = load_problem(conf["problem"]["ham_type"], n,
+                        geometry=conf["problem"].get("geometry", ""),
+                        mapping=conf["problem"].get("mapping",
+                                                    "jordan_wigner"))
+    angles = np.asarray(angles, dtype=np.float64).ravel()
+    _, state_new = circuit_stats(actions, n, num_layers, action_dict,
+                                 tn_tape, zero_params, return_state=True)
+    _, state_old = circuit_stats(actions[:-1], n, num_layers, action_dict,
+                                 tn_tape, zero_params, return_state=True)
+    old_keys = _rot_keys(state_old, n)
+    new_keys = _rot_keys(state_new, n)
+    if len(old_keys) != len(angles):
+        raise ValueError(f"stored angle vector ({len(angles)}) does not "
+                         f"match pre-action rotations ({len(old_keys)})")
+    ang_of = {k: angles[j] for j, k in enumerate(old_keys)}
+    x = np.array([ang_of.get(k, 0.0) for k in new_keys] or [0.0],
+                 dtype=np.float64)
+    cap = state_new.data.shape[0] * n + 8
+    tape = state_new.to_tape(cap, max(len(new_keys), 1))
+
+    if tn_placement == "fixed" and conf["env"].get("tn_init"):
+        qasm = resolve_data_file(warmstart_qasm_name(
+            conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
+            conf["problem"].get("geometry"), conf["problem"].get("mapping")))
+        wtape = load_qasm_tape(qasm)
+        psi0 = apply_tape(zero_state(n, jnp.complex128),
+                          *map(jnp.asarray, wtape.arrays()),
+                          jnp.asarray(wtape.x0()))
+    else:
+        psi0 = zero_state(n, jnp.complex128)
+    psi = apply_tape(psi0, *map(jnp.asarray, tape.arrays()),
+                     jnp.asarray(x))
+    e = float(pauli_expectation(psi, *prob.pauli.device_arrays(
+        jnp.complex128)))
+    return e - float(prob.min_eig)
 
 
 def analyze(summary_path, conf, tn_placement, topology="all_to_all",
-            zero_params=False, gate_set=None):
+            zero_params=False, gate_set=None, f64=False):
     n = conf["env"]["num_qubits"]
     num_layers = conf["env"]["num_layers"]
     accept_err = conf["env"]["accept_err"]
@@ -106,10 +192,13 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
         i = int(np.argmin(errs))
         if errs[i] < best["error"]:
             best = {"error": float(errs[i]), "episode": int(ep), "step": i,
-                    "actions": rec["actions"][: i + 1]}
+                    "actions": rec["actions"][: i + 1],
+                    "angles": (rec.get("opt_ang") or [None])[
+                        min(i, len(rec.get("opt_ang", [])) - 1)]}
         if success and errs[-1] < best_done["error"]:
             best_done = {"error": float(errs[-1]), "episode": int(ep),
-                         "step": len(errs) - 1, "actions": rec["actions"]}
+                         "step": len(errs) - 1, "actions": rec["actions"],
+                         "angles": (rec.get("opt_ang") or [None])[-1]}
 
     out = {"episodes": len(train), "successes": n_success,
            "accept_err": accept_err}
@@ -117,10 +206,16 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
         if not np.isfinite(rec["error"]):
             out[name] = None
             continue
-        stats = circuit_stats(rec["actions"], n, num_layers, action_dict,
-                              tn_tape, zero_params, gate_set=gate_set)
-        out[name] = {"error": rec["error"], "episode": rec["episode"],
-                     "step": rec["step"], **stats}
+        stats, state = circuit_stats(rec["actions"], n, num_layers,
+                                     action_dict, tn_tape, zero_params,
+                                     gate_set=gate_set, return_state=True)
+        row = {"error": rec["error"], "episode": rec["episode"],
+               "step": rec["step"], **stats}
+        if f64 and rec.get("angles") is not None and gate_set == "cnot":
+            row["error_f64"] = f64_error(
+                rec["actions"], rec["angles"], conf, tn_placement,
+                num_layers, action_dict, tn_tape, zero_params)
+        out[name] = row
     return out
 
 
@@ -132,6 +227,10 @@ def main():
                    help="config family dir (default: parent dir name + /)")
     p.add_argument("--config", default=None,
                    help="config file (default: dir name + .cfg)")
+    p.add_argument("--f64", action="store_true",
+                   help="re-evaluate best circuits at complex128 from the "
+                        "stored opt_ang (exact errors vs the f32 device "
+                        "numbers; see f64_error)")
     p.add_argument("--gate_set", choices=["cnot", "su4"], default=None,
                    help="override for summaries from runs launched with "
                         "the CLI --gate_set flag (the config corpus does "
@@ -146,7 +245,8 @@ def main():
     zero_params = bool(conf["env"].get("zero_param_init", 0))
 
     out = analyze(d / f"summary_{args.seed}.npy", conf, tn_placement,
-                  zero_params=zero_params, gate_set=args.gate_set)
+                  zero_params=zero_params, gate_set=args.gate_set,
+                  f64=args.f64)
     out["family"] = family
     out["config"] = cfg_name
     print(json.dumps(out, indent=2))

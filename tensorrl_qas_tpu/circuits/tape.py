@@ -128,6 +128,40 @@ class GateTape:
         return int(level.max(initial=0))
 
 
+def trim_to_depth(tape: GateTape, max_depth: int) -> GateTape:
+    """Truncate a tape to its first ``max_depth`` depth layers.
+
+    Counterpart of the reference's ``trimmed_circuit``
+    (``dmrg-to-qc/dmrg_to_qc.py:93-123``), which rebuilds a qiskit circuit
+    from the first ``max_depth`` DAG layers.  Here a gate's layer is the
+    greedy moment assignment used by :meth:`GateTape.depth` (identical to
+    DAG layering for a serial gate list): gates whose moment exceeds
+    ``max_depth`` are dropped; everything earlier is kept in order.
+    """
+    out = GateTape(tape.n_qubits, tape.capacity, tape.rot_capacity)
+    # layer every gate of the ORIGINAL tape first: a successor of a dropped
+    # gate must itself be dropped (it lives in a later DAG layer), so the
+    # kept set is exactly {gates with original moment <= max_depth}.
+    level = np.zeros(tape.n_qubits, dtype=np.int64)
+    for g in range(tape.n_gates):
+        k = GateKind(tape.kind[g])
+        if k == GateKind.NONE:
+            continue
+        qubits = [int(tape.tq[g])]
+        if tape.cq[g] >= 0:
+            qubits.append(int(tape.cq[g]))
+        moment = max(level[q] for q in qubits) + 1
+        for q in qubits:
+            level[q] = moment
+        if moment > max_depth:
+            continue
+        angle = (float(tape.angles[tape.angle_slot[g]])
+                 if tape.angle_slot[g] >= 0 else 0.0)
+        out.add(k, target=int(tape.tq[g]),
+                control=int(tape.cq[g]), angle=angle)
+    return out
+
+
 def tape_from_gate_list(n_qubits: int, gates, capacity: int | None = None,
                         rot_capacity: int | None = None) -> GateTape:
     """Build a tape from ``(name, qubits, angle)`` tuples (e.g. QASM import)."""

@@ -173,7 +173,12 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
             return hre, him
 
         def energy_rows(re, im, hre, him):
-            return jnp.sum(re * hre + im * him, axis=-1, keepdims=True)
+            # Rayleigh quotient: f32 gate application drifts ||psi||^2 by
+            # O(1e-6), which biases the raw bilinear form by O(1e-4) Ha at
+            # molecular energy scales; the norm division cancels it.
+            raw = jnp.sum(re * hre + im * him, axis=-1, keepdims=True)
+            n2 = jnp.sum(re * re + im * im, axis=-1, keepdims=True)
+            return raw / n2
 
         def backward(tape, xmat, re, im, lre, lim):
             """Returns dx (S, R): adjoint pass from the output state."""
@@ -304,7 +309,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
 
         reN, imN = lax.fori_loop(0, n_gates, gate_new, (re1, im1))
         hreN, himN = h_apply(reN, imN)
-        enew_ref[0] = jnp.sum(reN * hreN + imN * himN).reshape(1, 1)
+        enew_ref[0] = (jnp.sum(reN * hreN + imN * himN)
+                       / jnp.sum(reN * reN + imN * imN)).reshape(1, 1)
         xopt_ref[0] = x_opt
 
     return kernel

@@ -373,9 +373,13 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
             return hr_s[:], hi_s[:]
 
         def energy_per_start(re, im, hre, him):
+            # Rayleigh quotient (see ops/pallas_opt.py energy_rows): the
+            # norm division cancels the O(1e-4)-Ha f32 norm-drift bias.
             rowsum = jnp.sum(re * hre + im * him, axis=-1,
                              keepdims=True)                  # (SR, 1)
-            return mm(seg, rowsum)                           # (S, 1)
+            n2row = jnp.sum(re * re + im * im, axis=-1,
+                            keepdims=True)                   # (SR, 1)
+            return mm(seg, rowsum) / mm(seg, n2row)          # (S, 1)
 
         def backward(tape, xmat, re, im, lre, lim):
             kind_r, tq_r, cq_r, slot_r = tape

@@ -277,6 +277,8 @@ class ShardedSimulator:
                 psi, _ = lax.scan(fwd, psi0_block, (kind, tq, cq, slot))
                 lam = self._hpsi_local(psi, r, local_idx)
                 e_loc = jnp.real(jnp.sum(jnp.conj(psi) * lam)).astype(rdt)
+                n2_loc = jnp.sum(jnp.real(psi) ** 2
+                                 + jnp.imag(psi) ** 2).astype(rdt)
 
                 def bwd(carry, g):
                     p, l, grad = carry
@@ -298,10 +300,15 @@ class ShardedSimulator:
 
                 grad0 = jnp.zeros(ang.shape, rdt)
                 (_, _, grad), _ = lax.scan(bwd, (psi, lam, grad0), rev)
-                return e_loc, grad
+                return e_loc, n2_loc, grad
 
-            e_loc, grads = jax.vmap(one)(psi_blocks, angles)
-            return lax.psum(e_loc, "amp"), lax.psum(grads, "amp")
+            e_loc, n2_loc, grads = jax.vmap(one)(psi_blocks, angles)
+            # Rayleigh quotient (see sim/expectation.py): cancels the f32
+            # norm-drift bias; the norm is angle-independent for unitary
+            # gates, so dividing the gradient by the same factor is exact.
+            n2 = lax.psum(n2_loc, "amp")
+            return (lax.psum(e_loc, "amp") / n2,
+                    lax.psum(grads, "amp") / n2[:, None])
 
         return jax.shard_map(
             vag_local, mesh=self.mesh,
@@ -342,7 +349,10 @@ class ShardedSimulator:
 
                 total = total + jnp.sum(
                     jax.vmap(term)(w, flip_loc, sign_mask, iphase), axis=0)
-            return lax.psum(total, "amp")
+            n2 = jnp.sum(jnp.real(psi_block) ** 2 + jnp.imag(psi_block) ** 2,
+                         axis=-1).astype(total.dtype)
+            # Rayleigh quotient (see sim/expectation.py)
+            return lax.psum(total, "amp") / lax.psum(n2, "amp")
 
         return energy_local
 

@@ -118,6 +118,14 @@ def _adj_bwd(enable_2q, res, ct):
     rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
     xs = x.astype(rdtype)
     lam = apply_pauli_sum(psi, weights, flip, sign_mask, iphase)
+    # gradient of the Rayleigh quotient E = <psi|H|psi>/<psi|psi> (see
+    # pauli_expectation): dE/dpsi* = (H psi - E psi)/<psi|psi>.  The -E psi
+    # term contributes nothing to the angle gradients below (for a Pauli
+    # generator P, Im<psi|P|psi> = 0), but it is what makes the psi0
+    # cotangent exact under normalization.
+    n2 = jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2)
+    e_val = jnp.sum(jnp.real(jnp.conj(psi) * lam)) / n2
+    lam = (lam - e_val.astype(dtype) * psi) / n2.astype(dtype)
 
     def body(carry, g):
         p, l, grad = carry

