@@ -116,6 +116,10 @@ def main():
     p.add_argument("--target", type=float, default=8.9e-4)
     p.add_argument("--out", default="")
     p.add_argument("--polish_iters", type=int, default=1000)
+    p.add_argument("--stall_restart", type=int, default=150,
+                   help="after this many generations without improvement, "
+                        "re-seed the population from the champion under "
+                        "heavy mutation (escapes collapsed diversity)")
     args = p.parse_args()
 
     import jax
@@ -142,6 +146,13 @@ def main():
     best = (np.inf, None)
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
+    stall = 0
+
+    def mutate_k(parent, k_muts):
+        s = parent
+        for _ in range(k_muts):
+            s = mutate(rng, s, n, args.min_gates, args.max_gates)
+        return s
 
     for gen in range(args.gens):
         arrs, n_rot = encode(pop, G, R)
@@ -154,16 +165,29 @@ def main():
         order = np.argsort(err)
         if err[order[0]] < best[0]:
             best = (float(err[order[0]]), list(pop[order[0]]))
+            stall = 0
             d, cx, rot = stats(best[1], n)
             print(f"gen {gen}: best err {best[0]:.3e}  "
                   f"depth {d} cx {cx} rot {rot}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        else:
+            stall += 1
+        if stall >= args.stall_restart:
+            pop = [list(best[1])] + [
+                mutate_k(best[1], 3 + int(rng.integers(3)))
+                for _ in range(args.pop - 1 - n_fresh)
+            ] + [random_struct(rng, n,
+                               rng.integers(args.min_gates,
+                                            args.max_gates + 1))
+                 for _ in range(n_fresh)]
+            stall = 0
+            print(f"gen {gen}: stall restart around champion", flush=True)
+            continue
         elites = [pop[i] for i in order[:n_elite]]
         nxt = list(elites)
         while len(nxt) < args.pop - n_fresh:
             parent = elites[int(rng.integers(n_elite))]
-            nxt.append(mutate(rng, parent, n, args.min_gates,
-                              args.max_gates))
+            nxt.append(mutate_k(parent, 1 + int(rng.integers(2))))
         while len(nxt) < args.pop:
             nxt.append(random_struct(
                 rng, n, rng.integers(args.min_gates, args.max_gates + 1)))
