@@ -173,8 +173,10 @@ class DQN:
             actions[i] = a
         return actions, explore
 
-    def remember(self, state, action, reward, next_state, done) -> None:
-        self.memory.push(state, action, reward, next_state, done)
+    def remember(self, state, action, reward, next_state, done,
+                 env_id=0) -> None:
+        self.memory.push(state, action, reward, next_state, done,
+                         env_id=env_id)
 
     # -- learning --------------------------------------------------------------
 

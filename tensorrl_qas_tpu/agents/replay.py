@@ -36,7 +36,9 @@ class ReplayMemory:
         self.position = 0
         self.size = 0
 
-    def push(self, state, action, reward, next_state, done) -> None:
+    def push(self, state, action, reward, next_state, done,
+             env_id=0) -> None:
+        del env_id                       # single-stream host buffer
         p = self.position
         self.states[p] = state
         self.actions[p] = action
@@ -91,7 +93,8 @@ class PrioritizedReplayMemory(ReplayMemory):
         self.beta_frames = beta_frames
         self.priorities = np.zeros(capacity, dtype=np.float32)
 
-    def push(self, state, action, reward, next_state, done) -> None:
+    def push(self, state, action, reward, next_state, done,
+             env_id=0) -> None:
         max_p = self.priorities[: self.size].max() if self.size else 1.0
         self.priorities[self.position] = max_p
         super().push(state, action, reward, next_state, done)
@@ -146,6 +149,7 @@ class DeviceReplay:
         self.beta_start = beta_start
         self.beta_frames = beta_frames
         self.window: deque = deque(maxlen=max(n_step, 1))
+        self._windows: dict = {}     # per-env fold windows (see push)
         self._pending: list = []
         self._jnp = jnp
         self.states = jnp.zeros((capacity, state_size), jnp.float32)
@@ -157,21 +161,35 @@ class DeviceReplay:
         self.position = 0
         self.size = 0
 
-    def push(self, state, action, reward, next_state, done) -> None:
+    def push(self, state, action, reward, next_state, done,
+             env_id=0) -> None:
+        """``env_id`` keys the n-step fold window: transitions from
+        different env replicas (or demonstration streams) must fold
+        independently — one shared window would mix replicas inside a
+        single n-step return.  The sequential driver's default (0)
+        reproduces the reference's single-stream folding exactly."""
         if self.n_step:
-            self.window.append((state, action, reward, next_state, done))
-            if len(self.window) < self.n_step:
+            window = self._window_for(env_id)
+            window.append((state, action, reward, next_state, done))
+            if len(window) < self.n_step:
                 return
-            r, ns, dn = self._fold()
-            s0, a0 = self.window[0][0], self.window[0][1]
+            r, ns, dn = self._fold(window)
+            s0, a0 = window[0][0], window[0][1]
             self._pending.append((s0, a0, r, ns, dn))
         else:
             self._pending.append((state, action, reward, next_state, done))
 
-    def _fold(self):
-        r, next_n, done_n = (self.window[-1][2], self.window[-1][3],
-                             self.window[-1][4])
-        for _, _, rwd, nxt, dn in reversed(list(self.window)[:-1]):
+    def _window_for(self, env_id):
+        if env_id == 0:
+            return self.window
+        w = self._windows.get(env_id)
+        if w is None:
+            w = self._windows[env_id] = deque(maxlen=max(self.n_step, 1))
+        return w
+
+    def _fold(self, window):
+        r, next_n, done_n = (window[-1][2], window[-1][3], window[-1][4])
+        for _, _, rwd, nxt, dn in reversed(list(window)[:-1]):
             r = self.gamma * r * (1 - dn) + rwd
             if dn:
                 next_n, done_n = nxt, dn
@@ -229,6 +247,7 @@ class DeviceReplay:
         return self.size + len(self._pending)
 
     def clean_memory(self) -> None:
+        self._windows = {}
         jnp = self._jnp
         self.states = jnp.zeros_like(self.states)
         self.next_states = jnp.zeros_like(self.next_states)
@@ -281,18 +300,26 @@ class NStepReplayMemory(ReplayMemory):
         self.n_step = n_step
         self.gamma = gamma
         self.window: deque = deque(maxlen=n_step)
+        self._windows: dict = {}     # per-env fold windows (see DeviceReplay)
 
-    def push(self, state, action, reward, next_state, done) -> None:
-        self.window.append((state, action, reward, next_state, done))
-        if len(self.window) < self.n_step:
+    def push(self, state, action, reward, next_state, done,
+             env_id=0) -> None:
+        if env_id == 0:
+            window = self.window
+        else:
+            window = self._windows.get(env_id)
+            if window is None:
+                window = self._windows[env_id] = deque(maxlen=self.n_step)
+        window.append((state, action, reward, next_state, done))
+        if len(window) < self.n_step:
             return
-        reward_n, next_n, done_n = self._fold()
-        s0, a0 = self.window[0][0], self.window[0][1]
+        reward_n, next_n, done_n = self._fold(window)
+        s0, a0 = window[0][0], window[0][1]
         super().push(s0, a0, reward_n, next_n, done_n)
 
-    def _fold(self):
-        r, next_n, done_n = self.window[-1][2], self.window[-1][3], self.window[-1][4]
-        for _, _, rwd, nxt, dn in reversed(list(self.window)[:-1]):
+    def _fold(self, window):
+        r, next_n, done_n = window[-1][2], window[-1][3], window[-1][4]
+        for _, _, rwd, nxt, dn in reversed(list(window)[:-1]):
             r = self.gamma * r * (1 - dn) + rwd
             if dn:
                 next_n, done_n = nxt, dn
@@ -301,3 +328,4 @@ class NStepReplayMemory(ReplayMemory):
     def clean_memory(self) -> None:
         super().clean_memory()
         self.window = deque(maxlen=self.n_step)
+        self._windows = {}

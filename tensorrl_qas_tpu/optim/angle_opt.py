@@ -118,6 +118,9 @@ class AngleOptimizer:
         self.method = method
         self.iters = iters
         self.n_starts = n_starts
+        # see _make_starts: zero-centered starts that escape the greedy
+        # warm-start basin (0 when too few starts to spare)
+        self.fresh_starts = n_starts // 4
         self.lr = lr
         self.restart_scale = restart_scale
         self.dtype = dtype
@@ -349,12 +352,31 @@ class AngleOptimizer:
         better = e_final < best_e
         return jnp.where(better, x, best_x), jnp.where(better, e_final, best_e)
 
+    def _make_starts(self, x0, active, kn, lead_shape=()):
+        """Multi-start batch: start 0 = exact warm start, middle starts =
+        warm + Gaussian, and the last ``fresh_starts`` centered at ZERO
+        (one exactly zero).  Zero-centered starts cover basins the
+        warm-started family can miss (the round-3 structure search found
+        its deep minima exclusively from zero starts); the reference's
+        COBYLA warm-starts exclusively (``environment_qulacs.py:436-441``),
+        so this widens basin coverage at identical evaluation budget while
+        start 0 keeps exact reference parity."""
+        s = self.n_starts
+        f = self.fresh_starts
+        shape = (*lead_shape, s, x0.shape[-1])
+        noise = jax.random.normal(kn, shape, dtype=x0.dtype) \
+            * self.restart_scale
+        noise = noise.at[..., 0, :].set(0.0)
+        starts = x0[..., None, :] + noise
+        if f:
+            fresh = noise[..., s - f:, :]
+            fresh = fresh.at[..., 0, :].set(0.0)
+            starts = starts.at[..., s - f:, :].set(fresh)
+        return starts * active[..., None, :]
+
     def _optimize_multistart(self, psi0, kind, tq, cq, slot, x0, active, key):
         kn, ko = jax.random.split(key)
-        noise = jax.random.normal(kn, (self.n_starts, x0.shape[0]),
-                                  dtype=x0.dtype) * self.restart_scale
-        noise = noise.at[0].set(0.0)  # start 0 = warm start
-        starts = (x0[None, :] + noise) * active[None, :]
+        starts = self._make_starts(x0, active, kn)
         xs, es = jax.vmap(
             lambda s, k: self._adam_single(psi0, kind, tq, cq, slot, s,
                                            active, k)
@@ -430,10 +452,7 @@ class AngleOptimizer:
         im_1 = jnp.broadcast_to(im0, (e_env, 1, d))
         kn, ko, knz = jax.random.split(key, 3)
 
-        noise = jax.random.normal(kn, (e_env, s, x0.shape[-1]),
-                                  dtype=x0.dtype) * self.restart_scale
-        noise = noise.at[:, 0, :].set(0.0)
-        starts = (x0[:, None, :] + noise) * active[:, None, :]
+        starts = self._make_starts(x0, active, kn, lead_shape=(e_env,))
 
         def energy_once(xb, arrs, re_in, im_in, k):
             if self.noise_mode == "depolarizing":
@@ -546,11 +565,8 @@ class AngleOptimizer:
             # single-launch path: the whole multi-start Adam runs inside
             # one Pallas kernel (ops/pallas_opt.py or pallas_opt2d.py)
             kn = keys[0] if keys.ndim > 1 else keys
-            noise = jax.random.normal(
-                kn, x0_b.shape[:1] + (self.n_starts, x0_b.shape[1]),
-                dtype=x0_b.dtype) * self.restart_scale
-            noise = noise.at[:, 0, :].set(0.0)
-            starts = (x0_b[:, None, :] + noise) * active[:, None, :]
+            starts = self._make_starts(x0_b, active, kn,
+                                       lead_shape=x0_b.shape[:1])
             re0, im0 = psi0
             if engine == "v1":
                 from tensorrl_qas_tpu.ops.pallas_opt import \

@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "or below this AND --stop_min_successes episodes "
                         "succeeded (0 = run the full step budget)")
     p.add_argument("--stop_min_successes", type=int, default=0)
+    p.add_argument("--demo", type=str, default="",
+                   help="vectorized mode: JSON file with a demonstration "
+                        "gate list (e.g. a structure_search champion) to "
+                        "seed the replay buffer with (DQfD-style)")
+    p.add_argument("--demo_copies", type=int, default=20)
     return p
 
 
@@ -145,6 +150,16 @@ def main(argv=None) -> int:
         venv = VectorCircuitEnv(env_cfg, n_envs=args.vector)
         agent = make_agent(conf, venv.action_size, venv.state_size,
                            seed=args.seed)
+        demo_transitions = None
+        if args.demo:
+            from tensorrl_qas_tpu.train.vector_driver import \
+                collect_demo_transitions
+            spec = json.load(open(args.demo))
+            gates = spec["gates"] if isinstance(spec, dict) else spec
+            demo_transitions, demo_err = collect_demo_transitions(
+                env_cfg, conf, gates)
+            print(f"demo episode: {len(demo_transitions)} transitions, "
+                  f"final error {demo_err:.3e}", flush=True)
         output_path = f"{args.results_path}{args.experiment_name}{args.config}"
         pathlib.Path(output_path).mkdir(parents=True, exist_ok=True)
         episodes = args.episodes or conf["general"]["episodes"]
@@ -154,7 +169,9 @@ def main(argv=None) -> int:
                                    replays_per_iter=args.replays_per_iter,
                                    eps_per_step=bool(args.eps_per_step),
                                    stop_at_error=args.stop_at_error,
-                                   stop_min_successes=args.stop_min_successes)
+                                   stop_min_successes=args.stop_min_successes,
+                                   demo_transitions=demo_transitions,
+                                   demo_copies=args.demo_copies)
         print(json.dumps(summary), flush=True)
         return 0
 

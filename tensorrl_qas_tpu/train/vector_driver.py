@@ -32,6 +32,54 @@ def modify_states(states: np.ndarray, venv: VectorCircuitEnv, conf: dict):
     return states
 
 
+def collect_demo_transitions(cfg, conf, gates, extra_rotation: bool = True):
+    """Replay a gate list through a fresh 1-replica vectorized env and
+    return (state, action_id, reward, next_state, done) transitions.
+
+    Demonstration seeding (DQfD-style, beyond the reference): a known-good
+    gate sequence — e.g. a ``scripts/structure_search.py`` champion — is
+    converted to real env transitions with the trainer's exact observation
+    pipeline, for pre-filling the replay buffer.  ``extra_rotation``
+    appends one trailing rotation action when budget allows: the env
+    optimizes the PRE-action circuit (reference ordering), so the full
+    demonstration circuit only gets jointly optimized — and its true
+    energy recorded — on the step after its last gate.
+    """
+    from tensorrl_qas_tpu.circuits.actions import action_dictionary
+    from tensorrl_qas_tpu.envs.vector_env import VectorCircuitEnv
+
+    venv1 = VectorCircuitEnv(cfg, n_envs=1)
+    n = cfg.num_qubits
+    adict = action_dictionary(n, cfg.topology, gate_set=cfg.gate_set)
+    inv = {tuple(v): k for k, v in adict.items()}
+    acts4 = [[c, (t - c) % n, n, 0] if k == 4 else [n, 0, t, k]
+             for (k, t, c) in gates]
+    if extra_rotation and len(acts4) < venv1.envs[0].num_layers_termination:
+        acts4.append([n, 0, 0, 3])
+    states = venv1.reset_all()
+    states = modify_states(states, venv1, conf)
+    out = []
+    for a4 in acts4:
+        aid = inv.get(tuple(a4))
+        if aid is None:
+            raise ValueError(f"demo action {a4} not in the action "
+                             f"dictionary (topology={cfg.topology})")
+        nxt, rwd, dn, infos = venv1.step_all([a4])
+        nxt = modify_states(nxt, venv1, conf)
+        out.append((states[0].copy(), int(aid), float(rwd[0]),
+                    nxt[0].copy(), float(dn[0])))
+        states = nxt
+        if dn[0]:
+            break
+    return out, float(venv1.envs[0].error)
+
+
+def _inject_demo(agent, transitions, copies: int, tag: int = 0):
+    for c in range(copies):
+        for (s, a, r, ns, d) in transitions:
+            agent.remember(s, a, r, ns, d, env_id=f"demo{tag}.{c}")
+
+
 class _EpisodeBuffers:
     """Per-replica step accumulators, flushed to the Saver on done.
 
@@ -82,7 +130,9 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                      summary_save_every: int = 200,
                      eps_per_step: bool = True,
                      stop_at_error: float = 0.0,
-                     stop_min_successes: int = 0) -> dict:
+                     stop_min_successes: int = 0,
+                     demo_transitions=None, demo_copies: int = 20,
+                     demo_reinject_every: int = 1500) -> dict:
     """Run vectorized training for a fixed env-step budget.
 
     Produces the same artifact set as the sequential driver: the
@@ -101,6 +151,12 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     the run once ``best_error <= stop_at_error`` AND at least
     ``stop_min_successes`` episodes have terminated in success (reward +5).
     Both conditions must hold; 0.0 disables.
+
+    ``demo_transitions``: optional demonstration transitions (see
+    ``collect_demo_transitions``) injected ``demo_copies`` times before
+    training and once more every ``demo_reinject_every`` iterations so the
+    ring buffer never fully evicts them (DQfD-style seeding; a labeled
+    capability beyond the reference).
     """
     saver = Saver(output_path, seed)
     if eps_per_step:
@@ -113,6 +169,11 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     batch_size = conf["agent"]["batch_size"]
     b = venv.n_envs
     ep_bufs = _EpisodeBuffers(b)
+
+    if demo_transitions:
+        _inject_demo(agent, demo_transitions, demo_copies)
+        print(f"demo seeding: {len(demo_transitions)} transitions x "
+              f"{demo_copies} copies into the replay buffer", flush=True)
 
     states = venv.reset_all()
     states = modify_states(states, venv, conf)
@@ -137,7 +198,7 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
 
         for i in range(b):
             agent.remember(states[i], int(actions[i]), float(rewards[i]),
-                           next_states[i], float(dones[i]))
+                           next_states[i], float(dones[i]), env_id=i + 1)
             ep_bufs.append_step(i, actions[i], venv.envs[i], rewards[i],
                                 dt_step)
             if dones[i]:
@@ -149,6 +210,9 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
         states = next_states
         steps += b
         it += 1
+        if (demo_transitions and demo_reinject_every
+                and it % demo_reinject_every == 0):
+            _inject_demo(agent, demo_transitions, 1, tag=it)
 
         if len(agent.memory) > batch_size:
             if replays_per_iter > 1 and hasattr(agent, "replay_burst"):
