@@ -150,3 +150,28 @@ def test_tn_psi_memoized_across_envs():
     e2 = CircuitEnv(cfg)
     assert len(_TN_PSI_CACHE) == key_count
     assert e1._tn_psi is e2._tn_psi
+
+
+def test_collect_demo_transitions():
+    """Demo seeding: a gate list replays into env transitions with the
+    trainer's observation pipeline (train/vector_driver.py)."""
+    from tensorrl_qas_tpu.envs.circuit_env import EnvConfig
+    from tensorrl_qas_tpu.train.config import get_config
+    from tensorrl_qas_tpu.train.vector_driver import (
+        collect_demo_transitions)
+
+    conf = get_config("TensorRL_fixed/", "heisenberg_5q_TNbond2.cfg")
+    cfg = EnvConfig.from_conf(conf, tn_placement="fixed", seed=0)
+    cfg.use_pallas = "off"
+    gates = [[2, 1, -1], [4, 2, 0], [1, 3, -1], [3, 0, -1]]
+    trans, final_err = collect_demo_transitions(cfg, conf, gates)
+    # 4 gates + 1 appended trailing rotation
+    assert len(trans) == 5
+    s0, a0, r0, ns0, d0 = trans[0]
+    assert s0.shape == ns0.shape
+    assert np.isfinite(final_err)
+    assert all(np.isfinite(t[2]) for t in trans)
+    # the appended action is a rotation id, all ids valid
+    from tensorrl_qas_tpu.circuits.actions import action_dictionary
+    adict = action_dictionary(5, "all_to_all")
+    assert all(0 <= t[1] < len(adict) for t in trans)
