@@ -108,6 +108,10 @@ class DQN:
         # on device by index, so the ~30MB (batch, state) tensors never
         # cross the host boundary per train step
         self.device_replay = int(agent_c.get("device_replay", 1))
+        # DQfD margin-loss hyperparameters (active only on samples whose
+        # demo flag is set, i.e. when demonstration seeding is used)
+        self.demo_margin = float(agent_c.get("demo_margin", 0.8))
+        self.demo_lambda = float(agent_c.get("demo_lambda", 1.0))
         if self.device_replay:
             self.memory = DeviceReplay(memory_size, self.state_size,
                                        seed=seed + 1,
@@ -174,24 +178,27 @@ class DQN:
         return actions, explore
 
     def remember(self, state, action, reward, next_state, done,
-                 env_id=0) -> None:
+                 env_id=0, is_demo: float = 0.0) -> None:
         self.memory.push(state, action, reward, next_state, done,
-                         env_id=env_id)
+                         env_id=env_id, is_demo=is_demo)
 
     # -- learning --------------------------------------------------------------
 
     def _train_step_gather(self, params, target_params, opt_state,
                            buf_states, buf_actions, buf_rewards,
-                           buf_next_states, buf_dones, idx, weights):
+                           buf_next_states, buf_dones, buf_demos, idx,
+                           weights):
         """Device-replay variant: gather the batch by index on device."""
         return self._train_step(
             params, target_params, opt_state,
             buf_states[idx], buf_actions[idx], buf_rewards[idx],
-            buf_next_states[idx], buf_dones[idx], weights)
+            buf_next_states[idx], buf_dones[idx], weights,
+            demos=buf_demos[idx])
 
     def _train_step_burst(self, params, target_params, opt_state,
                           buf_states, buf_actions, buf_rewards,
-                          buf_next_states, buf_dones, idx_burst, step0):
+                          buf_next_states, buf_dones, buf_demos, idx_burst,
+                          step0):
         """K sequential replay updates in ONE device call (``lax.scan``
         over ``idx_burst`` (K, B)).  Replicates K ``replay()`` calls
         exactly for uniform device-resident replay: the target network
@@ -209,7 +216,7 @@ class DQN:
             params, opt_state, loss, _ = self._train_step(
                 params, target, opt_state, buf_states[idx],
                 buf_actions[idx], buf_rewards[idx], buf_next_states[idx],
-                buf_dones[idx], jnp.float32(1.0))
+                buf_dones[idx], jnp.float32(1.0), demos=buf_demos[idx])
             return (params, target, opt_state, step + 1), loss
 
         (params, target, opt_state, _), losses = jax.lax.scan(
@@ -218,7 +225,8 @@ class DQN:
         return params, target, opt_state, losses[-1]
 
     def _train_step(self, params, target_params, opt_state,
-                    states, actions, rewards, next_states, dones, weights):
+                    states, actions, rewards, next_states, dones, weights,
+                    demos=None):
         def loss_fn(p):
             q = self.model.apply(p, states, deterministic=True)
             q_sa = jnp.take_along_axis(q, actions[:, None], axis=1)[:, 0]
@@ -233,6 +241,16 @@ class DQN:
             target = rewards + self.gamma * q_next * (1.0 - dones)
             td = target - q_sa
             loss = jnp.mean(_huber(q_sa * weights, target * weights))
+            if demos is not None:
+                # DQfD large-margin supervised term on demonstration
+                # samples: force the demo action's Q above every other
+                # action by a margin, so argmax reproduces the
+                # demonstration (TD alone cannot rank never-tried
+                # alternatives at demo states)
+                onehot = jax.nn.one_hot(actions, q.shape[1], dtype=q.dtype)
+                q_marg = q + self.demo_margin * (1.0 - onehot)
+                sup = jnp.max(q_marg, axis=1) - q_sa
+                loss = loss + self.demo_lambda * jnp.mean(demos * sup)
             return loss, jnp.abs(td)
 
         (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

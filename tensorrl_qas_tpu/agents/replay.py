@@ -37,8 +37,8 @@ class ReplayMemory:
         self.size = 0
 
     def push(self, state, action, reward, next_state, done,
-             env_id=0) -> None:
-        del env_id                       # single-stream host buffer
+             env_id=0, is_demo: float = 0.0) -> None:
+        del env_id, is_demo              # single-stream host buffer
         p = self.position
         self.states[p] = state
         self.actions[p] = action
@@ -94,7 +94,7 @@ class PrioritizedReplayMemory(ReplayMemory):
         self.priorities = np.zeros(capacity, dtype=np.float32)
 
     def push(self, state, action, reward, next_state, done,
-             env_id=0) -> None:
+             env_id=0, is_demo: float = 0.0) -> None:
         max_p = self.priorities[: self.size].max() if self.size else 1.0
         self.priorities[self.position] = max_p
         super().push(state, action, reward, next_state, done)
@@ -157,12 +157,13 @@ class DeviceReplay:
         self.actions = jnp.zeros(capacity, jnp.int32)
         self.rewards = jnp.zeros(capacity, jnp.float32)
         self.dones = jnp.zeros(capacity, jnp.float32)
+        self.demos = jnp.zeros(capacity, jnp.float32)
         self.priorities = np.zeros(capacity, dtype=np.float32)
         self.position = 0
         self.size = 0
 
     def push(self, state, action, reward, next_state, done,
-             env_id=0) -> None:
+             env_id=0, is_demo: float = 0.0) -> None:
         """``env_id`` keys the n-step fold window: transitions from
         different env replicas (or demonstration streams) must fold
         independently — one shared window would mix replicas inside a
@@ -175,9 +176,10 @@ class DeviceReplay:
                 return
             r, ns, dn = self._fold(window)
             s0, a0 = window[0][0], window[0][1]
-            self._pending.append((s0, a0, r, ns, dn))
+            self._pending.append((s0, a0, r, ns, dn, is_demo))
         else:
-            self._pending.append((state, action, reward, next_state, done))
+            self._pending.append((state, action, reward, next_state, done,
+                                  is_demo))
 
     def _window_for(self, env_id):
         if env_id == 0:
@@ -207,12 +209,14 @@ class DeviceReplay:
         r = np.asarray([p[2] for p in self._pending], np.float32)
         ns = np.stack([p[3] for p in self._pending]).astype(np.float32)
         d = np.asarray([p[4] for p in self._pending], np.float32)
+        dm = np.asarray([p[5] for p in self._pending], np.float32)
         jidx = jnp.asarray(idx)
         self.states = self.states.at[jidx].set(jnp.asarray(s))
         self.next_states = self.next_states.at[jidx].set(jnp.asarray(ns))
         self.actions = self.actions.at[jidx].set(jnp.asarray(a))
         self.rewards = self.rewards.at[jidx].set(jnp.asarray(r))
         self.dones = self.dones.at[jidx].set(jnp.asarray(d))
+        self.demos = self.demos.at[jidx].set(jnp.asarray(dm))
         if self.per:
             max_p = self.priorities[: self.size].max() if self.size else 1.0
             self.priorities[idx] = max_p
@@ -238,7 +242,7 @@ class DeviceReplay:
 
     def buffers(self):
         return (self.states, self.actions, self.rewards, self.next_states,
-                self.dones)
+                self.dones, self.demos)
 
     def update_priorities(self, idx, td_errors, epsilon: float = 1e-5):
         self.priorities[idx] = np.abs(np.asarray(td_errors)).reshape(-1) + epsilon
@@ -249,6 +253,7 @@ class DeviceReplay:
     def clean_memory(self) -> None:
         self._windows = {}
         jnp = self._jnp
+        self.demos = jnp.zeros_like(self.demos)
         self.states = jnp.zeros_like(self.states)
         self.next_states = jnp.zeros_like(self.next_states)
         self.actions = jnp.zeros_like(self.actions)
@@ -270,6 +275,7 @@ class DeviceReplay:
                 "rewards": np.asarray(self.rewards[:n]),
                 "next_states": np.asarray(self.next_states[:n]),
                 "dones": np.asarray(self.dones[:n]),
+                "demos": np.asarray(self.demos[:n]),
                 "position": self.position, "size": n}
 
     def load_state_dict(self, d):
@@ -283,6 +289,8 @@ class DeviceReplay:
         self.actions = self.actions.at[jidx].set(
             jnp.asarray(d["actions"], jnp.int32))
         self.rewards = self.rewards.at[jidx].set(jnp.asarray(d["rewards"]))
+        if "demos" in d:
+            self.demos = self.demos.at[jidx].set(jnp.asarray(d["demos"]))
         self.dones = self.dones.at[jidx].set(jnp.asarray(d["dones"]))
         self.position = int(d["position"]) % self.capacity
         self.size = n
@@ -303,7 +311,8 @@ class NStepReplayMemory(ReplayMemory):
         self._windows: dict = {}     # per-env fold windows (see DeviceReplay)
 
     def push(self, state, action, reward, next_state, done,
-             env_id=0) -> None:
+             env_id=0, is_demo: float = 0.0) -> None:
+        del is_demo
         if env_id == 0:
             window = self.window
         else:

@@ -77,7 +77,8 @@ def collect_demo_transitions(cfg, conf, gates, extra_rotation: bool = True):
 def _inject_demo(agent, transitions, copies: int, tag: int = 0):
     for c in range(copies):
         for (s, a, r, ns, d) in transitions:
-            agent.remember(s, a, r, ns, d, env_id=f"demo{tag}.{c}")
+            agent.remember(s, a, r, ns, d, env_id=f"demo{tag}.{c}",
+                           is_demo=1.0)
 
 
 class _EpisodeBuffers:

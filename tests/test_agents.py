@@ -138,3 +138,30 @@ def test_act_masking_exhaustive():
     for _ in range(20):
         a, _ = agent.act(state, [0, 2, 4])
         assert a in (1, 3, 5)
+
+
+def test_demo_margin_loss_teaches_argmax():
+    """DQfD margin term: training on demo-flagged transitions forces the
+    demo action's Q above every alternative at the demo state."""
+    conf = small_conf()
+    agent = DQN(conf, action_size=6, state_size=3 * 4 * 9, seed=0)
+    rng = np.random.default_rng(1)
+    s_demo = rng.normal(size=agent.state_size).astype(np.float32)
+    ns_demo = rng.normal(size=agent.state_size).astype(np.float32)
+    a_demo = 3
+    # demo-flagged transitions plus background noise transitions
+    for _ in range(40):
+        agent.remember(s_demo, a_demo, 5.0, ns_demo, 1.0,
+                       env_id="demo", is_demo=1.0)
+        agent.remember(rng.normal(size=agent.state_size).astype(np.float32),
+                       int(rng.integers(6)), float(rng.normal()),
+                       rng.normal(size=agent.state_size).astype(np.float32),
+                       0.0)
+    for _ in range(60):
+        agent.replay(16, fetch_loss=False)
+    import jax.numpy as jnp
+    q = np.asarray(agent._qvals(agent.params, jnp.asarray(s_demo[None])))[0]
+    assert int(np.argmax(q)) == a_demo
+    # margin actually enforced, not just a tie
+    others = np.delete(q, a_demo)
+    assert q[a_demo] - others.max() > 0.1
