@@ -85,6 +85,26 @@ def encode(structs, G, R):
     return (kind, tq, cq, slot), n_rot
 
 
+def is_agent_playable(struct, n, adict, inv):
+    """True iff the sequence passes the env's illegal-action masking at
+    every step (the reference agent masks illegal ids to -inf,
+    ``agents/DeepQ.py:87``; an unplayable sequence can never be produced
+    by a policy, so mask-aware search keeps champions demonstrable)."""
+    from tensorrl_qas_tpu.envs.illegal import IllegalActionTracker
+
+    tracker = IllegalActionTracker(n, adict)
+    cur = [n] * 4
+    for (k, t, c) in struct:
+        a4 = [c, (t - c) % n, n, 0] if k == CX else [n, 0, t, k]
+        ill = tracker.observe(cur)            # iteration-top re-observe
+        aid = inv.get(tuple(a4))
+        if aid is None or aid in ill:
+            return False
+        tracker.observe(a4)                   # step_begin observe
+        cur = a4
+    return True
+
+
 def stats(struct, n):
     level = np.zeros(n, dtype=np.int64)
     cx = 0
@@ -120,6 +140,11 @@ def main():
                    help="after this many generations without improvement, "
                         "re-seed the population from the champion under "
                         "heavy mutation (escapes collapsed diversity)")
+    p.add_argument("--mask_legal", type=int, default=0,
+                   help="restrict the search to sequences playable under "
+                        "the env's illegal-action masking (champions can "
+                        "then seed --demo RL runs / be produced by a "
+                        "policy)")
     args = p.parse_args()
 
     import jax
@@ -138,9 +163,22 @@ def main():
     ident = np.tile(np.arange(R, dtype=np.int32), (args.pop, 1))
     rng = np.random.default_rng(args.seed)
 
-    pop = [random_struct(rng, n, rng.integers(args.min_gates,
-                                              args.max_gates + 1))
-           for _ in range(args.pop)]
+    legal = None
+    if args.mask_legal:
+        from tensorrl_qas_tpu.circuits.actions import action_dictionary
+        adict = action_dictionary(n, cfg.topology, gate_set=cfg.gate_set)
+        inv = {tuple(v): k for k, v in adict.items()}
+        legal = lambda s: is_agent_playable(s, n, adict, inv)  # noqa: E731
+
+    def fresh_random():
+        for _ in range(200):
+            s = random_struct(rng, n, rng.integers(args.min_gates,
+                                                   args.max_gates + 1))
+            if legal is None or legal(s):
+                return s
+        raise RuntimeError("could not sample a mask-legal structure")
+
+    pop = [fresh_random() for _ in range(args.pop)]
     n_elite = max(2, int(args.pop * args.elite_frac))
     n_fresh = max(1, int(args.pop * args.fresh_frac))
     best = (np.inf, None)
@@ -149,10 +187,13 @@ def main():
     stall = 0
 
     def mutate_k(parent, k_muts):
-        s = parent
-        for _ in range(k_muts):
-            s = mutate(rng, s, n, args.min_gates, args.max_gates)
-        return s
+        for _ in range(50):
+            s = parent
+            for _ in range(k_muts):
+                s = mutate(rng, s, n, args.min_gates, args.max_gates)
+            if legal is None or legal(s):
+                return s
+        return list(parent)       # parent is legal by induction
 
     for gen in range(args.gens):
         arrs, n_rot = encode(pop, G, R)
@@ -176,10 +217,7 @@ def main():
             pop = [list(best[1])] + [
                 mutate_k(best[1], 3 + int(rng.integers(3)))
                 for _ in range(args.pop - 1 - n_fresh)
-            ] + [random_struct(rng, n,
-                               rng.integers(args.min_gates,
-                                            args.max_gates + 1))
-                 for _ in range(n_fresh)]
+            ] + [fresh_random() for _ in range(n_fresh)]
             stall = 0
             print(f"gen {gen}: stall restart around champion", flush=True)
             continue
@@ -189,8 +227,7 @@ def main():
             parent = elites[int(rng.integers(n_elite))]
             nxt.append(mutate_k(parent, 1 + int(rng.integers(2))))
         while len(nxt) < args.pop:
-            nxt.append(random_struct(
-                rng, n, rng.integers(args.min_gates, args.max_gates + 1)))
+            nxt.append(fresh_random())
         pop = nxt
         if gen % 25 == 0:
             print(f"gen {gen}: median err {np.median(err):.3e} "
