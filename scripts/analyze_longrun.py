@@ -235,6 +235,13 @@ def main():
                    help="override for summaries from runs launched with "
                         "the CLI --gate_set flag (the config corpus does "
                         "not record it)")
+    p.add_argument("--topology",
+                   choices=["all_to_all", "hexagon", "hexagon_full"],
+                   default=None,
+                   help="action-space topology of the run (default: the "
+                        "config's topology key, else all_to_all); required "
+                        "for summaries from runs launched with the CLI "
+                        "--topology override")
     args = p.parse_args()
 
     d = pathlib.Path(args.results_dir)
@@ -244,9 +251,11 @@ def main():
     tn_placement = "fixed" if "fixed" in family.lower() else "in_state"
     zero_params = bool(conf["env"].get("zero_param_init", 0))
 
+    topology = (args.topology or conf["env"].get("topology")
+                or "all_to_all")
     out = analyze(d / f"summary_{args.seed}.npy", conf, tn_placement,
-                  zero_params=zero_params, gate_set=args.gate_set,
-                  f64=args.f64)
+                  topology=topology, zero_params=zero_params,
+                  gate_set=args.gate_set, f64=args.f64)
     out["family"] = family
     out["config"] = cfg_name
     print(json.dumps(out, indent=2))
