@@ -137,6 +137,222 @@ def _masks(t, c, col):
     return b, act
 
 
+_NONE = int(GateKind.NONE)
+
+
+def _gate_class(k, c):
+    """Scalar dispatch index for ``_apply_gate_fast`` / ``_bwd_gate_fast``:
+    0 = identity/padding, 1 = uncontrolled diagonal (RZ, Z),
+    2 = permutation (X, CX), 3 = uncontrolled RX, 4 = uncontrolled RY,
+    5 = generic (H, Y, and any controlled rotation/diagonal).
+
+    Routing *controlled* rotations to the generic class lets the rotation
+    branches drop the control blend entirely (the CNOT+rotation action
+    set never emits them; the tape format allows them, so semantics are
+    preserved via the generic path)."""
+    unctrl = c < 0
+    return jnp.where(
+        k == _NONE, 0,
+        jnp.where(((k == _RZ) | (k == _Z)) & unctrl, 1,
+                  jnp.where((k == _CX) | (k == _X), 2,
+                            jnp.where((k == _RX) & unctrl, 3,
+                                      jnp.where((k == _RY) & unctrl,
+                                                4, 5)))))
+
+
+def _theta_sel(xmat, s, slot_row):
+    """Exact (S, 1) angle-column selection on the VPU.
+
+    The one-hot MXU contraction needs Precision.HIGHEST (3 bf16 passes)
+    to keep angles exact; a compare + masked row-sum is bit-exact in one
+    VPU pass and keeps the MXU out of the per-gate critical path."""
+    hit = (slot_row == s).astype(jnp.float32)          # (1, R)
+    return jnp.sum(xmat * hit, axis=-1, keepdims=True)  # (S, 1)
+
+
+def _apply_gate_fast(re, im, k, t, c, s, xmat, slot_row, col):
+    """Gate-kind-specialized (controlled) 1q combine.
+
+    Semantically identical to coeff-select + ``_apply_u`` but dispatches
+    on the (scalar) gate kind, and each branch computes ONLY what it
+    needs — angle selection, trig, masks, and rolls are all inside the
+    branches (measured: the unconditional prefix was ~40% of the per-gate
+    critical path).  The serial gate chain is latency-bound on the VPU,
+    so this is a direct wall-clock lever:
+
+      - identity/padding gates skip everything (tapes are padded to a
+        static cap; early-training tapes are mostly padding);
+      - RZ/Z skip the four XOR-partner lane rolls and the control blend;
+      - X/CX skip angles/trig entirely (conditional permutation only);
+      - RX/RY use their real-coefficient two-term forms, no blend;
+      - H, Y, controlled rotations take the generic ``_apply_u`` path.
+    """
+    d = re.shape[-1]
+
+    def cls_none(_):
+        return re, im
+
+    def cls_diag(_):
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        is_z = k == _Z
+        u0r = jnp.where(is_z, 1.0, cth)
+        u0i = jnp.where(is_z, 0.0, -sth)
+        u1r = jnp.where(is_z, -1.0, cth)
+        u1i = jnp.where(is_z, 0.0, sth)
+        b = (col >> t) & 1
+        dr = jnp.where(b == 0, u0r, u1r)
+        di = jnp.where(b == 0, u0i, u1i)
+        return dr * re - di * im, dr * im + di * re
+
+    def cls_perm(_):
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        act = jnp.where(
+            c >= 0,
+            ((col >> jnp.maximum(c, 0)) & 1).astype(jnp.float32),
+            jnp.float32(1.0))
+        inv = 1.0 - act
+        return act * pre + inv * re, act * pim + inv * im
+
+    def cls_rx(_):
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        return cth * re + sth * pim, cth * im - sth * pre
+
+    def cls_ry(_):
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        b = ((col >> t) & 1).astype(jnp.float32)
+        fr = sth * (2.0 * b - 1.0)
+        return cth * re + fr * pre, cth * im + fr * pim
+
+    def cls_generic(_):
+        th = jnp.where(s >= 0, _theta_sel(xmat, s, slot_row),
+                       jnp.float32(0.0))
+        coeffs = _gate_coeffs(k, th)
+        b, act = _masks(t, c, col)
+        nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
+        return nre, nim
+
+    return lax.switch(_gate_class(k, c),
+                      [cls_none, cls_diag, cls_perm, cls_rx, cls_ry,
+                       cls_generic], 0)
+
+
+def _bwd_gate_fast(re, im, lre, lim, k, t, c, s, xmat, slot_row, col):
+    """Gate-kind-specialized adjoint step: one reverse-pass gate.
+
+    Returns ``(nre, nim, nlre, nlim, contrib)`` where (nre, nim) is the
+    state with this gate undone (U^H), (nlre, nlim) the cotangent
+    propagated through U^T, and ``contrib`` the (S, 1) angle-gradient
+    row 1/2 Im[(P psi)^T lambda] (zero for gates without an angle slot —
+    callers additionally mask by slot validity).
+
+    Same dispatch classes as ``_apply_gate_fast`` and the same
+    everything-in-the-branch structure: angle selection, trig, and masks
+    are computed only by the classes that need them.  Beyond skipping
+    work per class, the rotation classes REUSE the state's XOR-partner
+    rolls between the gradient term and the U^H undo (the generic path
+    computes them twice), and the diagonal class needs no rolls at all.
+    """
+    d = re.shape[-1]
+    zero_c = jnp.zeros((re.shape[0], 1), jnp.float32)
+
+    def grad(pr, pi):
+        return 0.5 * jnp.sum(pr * lim + pi * lre, axis=-1, keepdims=True)
+
+    def cls_none(_):
+        return re, im, lre, lim, zero_c
+
+    def cls_diag(_):
+        # uncontrolled RZ / Z: diagonal, so no rolls and no blend
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        is_z = k == _Z
+        b = (col >> t) & 1
+        sgn = 1.0 - 2.0 * b.astype(jnp.float32)
+        dr = jnp.where(is_z, sgn, cth)
+        di = jnp.where(is_z, 0.0,
+                       jnp.where(b == 0, -sth, sth))
+        cg = grad(sgn * re, sgn * im)
+        return (dr * re + di * im, dr * im - di * re,
+                dr * lre - di * lim, dr * lim + di * lre, cg)
+
+    def cls_perm(_):
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        plre = _xor_lane(lre, t, d)
+        plim = _xor_lane(lim, t, d)
+        act = jnp.where(
+            c >= 0,
+            ((col >> jnp.maximum(c, 0)) & 1).astype(jnp.float32),
+            jnp.float32(1.0))
+        inv = 1.0 - act
+        return (act * pre + inv * re, act * pim + inv * im,
+                act * plre + inv * lre, act * plim + inv * lim, zero_c)
+
+    def cls_rx(_):
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        plre = _xor_lane(lre, t, d)
+        plim = _xor_lane(lim, t, d)
+        cg = grad(pre, pim)
+        return (cth * re - sth * pim, cth * im + sth * pre,
+                cth * lre + sth * plim, cth * lim - sth * plre, cg)
+
+    def cls_ry(_):
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        plre = _xor_lane(lre, t, d)
+        plim = _xor_lane(lim, t, d)
+        b = ((col >> t) & 1).astype(jnp.float32)
+        sgn = 1.0 - 2.0 * b
+        cg = grad(sgn * pim, -sgn * pre)
+        fr = sth * (2.0 * b - 1.0)
+        return (cth * re - fr * pre, cth * im - fr * pim,
+                cth * lre - fr * plre, cth * lim - fr * plim, cg)
+
+    def cls_generic(_):
+        th = jnp.where(s >= 0, _theta_sel(xmat, s, slot_row),
+                       jnp.float32(0.0))
+        (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
+            _gate_coeffs(k, th)
+        b, act = _masks(t, c, col)
+        sgn = 1.0 - 2.0 * b
+        pre = _xor_lane(re, t, d)
+        pim = _xor_lane(im, t, d)
+        is_rx = (k == _RX).astype(jnp.float32)
+        is_ry = (k == _RY).astype(jnp.float32)
+        is_rz = (k == _RZ).astype(jnp.float32)
+        pr = is_rx * pre + is_ry * (sgn * pim) + is_rz * (sgn * re)
+        pi = is_rx * pim + is_ry * (-sgn * pre) + is_rz * (sgn * im)
+        cg = grad(act * pr, act * pi)
+        ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
+        nre, nim, _, _ = _apply_u(re, im, ch, t, b, act)
+        ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
+        nlr, nli, _, _ = _apply_u(lre, lim, ct, t, b, act)
+        return nre, nim, nlr, nli, cg
+
+    return lax.switch(_gate_class(k, c),
+                      [cls_none, cls_diag, cls_perm, cls_rx, cls_ry,
+                       cls_generic], 0)
+
+
 def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
                 re_ref, im_ref, ore_ref, oim_ref):
     """Grid over env replicas: program e applies ITS tape (row e of the
@@ -150,21 +366,15 @@ def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
     oim_ref[:] = im_ref[:]
 
     r = angles_ref.shape[-1]
-    slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
 
     def body(g, _):
         k = kind_ref[e, g]
         t = tq_ref[e, g]
         c = cq_ref[e, g]
         s = slot_ref[e, g]
-        # dynamic-lane reads are unsupported on TPU; select the angle
-        # column with a one-hot contraction instead
-        onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
-        theta = _mm(angles_ref[0], onehot)      # (S, 1)
-        theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
-        coeffs = _gate_coeffs(k, theta)
-        b, act = _masks(t, c, col)
-        nre, nim, _, _ = _apply_u(ore_ref[0], oim_ref[0], coeffs, t, b, act)
+        nre, nim = _apply_gate_fast(ore_ref[0], oim_ref[0], k, t, c, s,
+                                    angles_ref[0], slot_row, col)
         ore_ref[0] = nre
         oim_ref[0] = nim
         return 0
@@ -194,7 +404,6 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
     dang_ref[:] = jnp.zeros_like(dang_ref)
 
     r = angles_ref.shape[-1]
-    slot_iota = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
 
     def body(i, _):
@@ -203,50 +412,19 @@ def _bwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
         t = tq_ref[e, g]
         c = cq_ref[e, g]
         s = slot_ref[e, g]
-        onehot = (slot_iota == s).astype(jnp.float32)           # (R, 1)
-        theta = _mm(angles_ref[0], onehot)      # (S, 1)
-        theta = jnp.where(s >= 0, theta, jnp.float32(0.0))
-        (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = _gate_coeffs(
-            k, theta)
-        b, act = _masks(t, c, col)
-        re = psr_ref[:]
-        im = psi_ref_s[:]
-        lre = dre_ref[0]
-        lim = dim_ref[0]
-
-        # --- angle gradient: 1/2 Im[(P psi)^T lambda], P in {X, Y, Z} ----
-        @pl.when(s >= 0)
-        def _():
-            pre = _xor_lane(re, t, d)
-            pim = _xor_lane(im, t, d)
-            sgn = 1.0 - 2.0 * b                 # (-1)^bit
-            is_rx = (k == _RX).astype(jnp.float32)
-            is_ry = (k == _RY).astype(jnp.float32)
-            is_rz = (k == _RZ).astype(jnp.float32)
-            # X: (pre, pim); Y: (sgn*pim... ) f = i*(2b-1): re=-(2b-1)pim
-            y_re = sgn * pim                    # -(2b-1) = sgn
-            y_im = -sgn * pre
-            z_re = sgn * re
-            z_im = sgn * im
-            pr = is_rx * pre + is_ry * y_re + is_rz * z_re
-            pi = is_rx * pim + is_ry * y_im + is_rz * z_im
-            contrib = 0.5 * jnp.sum(pr * lim + pi * lre, axis=-1,
-                                    keepdims=True)            # (S, 1)
-            # dynamic-lane stores are unsupported: scatter via one-hot row
-            dang_ref[0] = dang_ref[0] + contrib * (
-                slot_row == s).astype(jnp.float32)
-
-        # --- undo state with U^H (conj + swap of off-diagonals) -----------
-        coeffs_h = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
-        nre, nim, _, _ = _apply_u(re, im, coeffs_h, t, b, act)
+        # one specialized step: angle-gradient row + U^H state undo + U^T
+        # cotangent propagation (class-dispatched; rolls shared)
+        nre, nim, nlr, nli, contrib = _bwd_gate_fast(
+            psr_ref[:], psi_ref_s[:], dre_ref[0], dim_ref[0],
+            k, t, c, s, angles_ref[0], slot_row, col)
         psr_ref[:] = nre
         psi_ref_s[:] = nim
-
-        # --- propagate cotangent with U^T (swap of off-diagonals) ---------
-        coeffs_t = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
-        nlr, nli, _, _ = _apply_u(lre, lim, coeffs_t, t, b, act)
         dre_ref[0] = nlr
         dim_ref[0] = nli
+        # dynamic-lane stores are unsupported: scatter via one-hot row
+        has_angle = (s >= 0).astype(jnp.float32)
+        dang_ref[0] = dang_ref[0] + has_angle * contrib * (
+            slot_row == s).astype(jnp.float32)
         return 0
 
     lax.fori_loop(0, n_gates, body, 0)

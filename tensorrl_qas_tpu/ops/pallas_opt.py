@@ -40,14 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tensorrl_qas_tpu.ops.pallas_apply import (
     _CX,
     _RX,
-    _RY,
     _RZ,
     _X,
+    _apply_gate_fast,
     _apply_u,
+    _bwd_gate_fast,
     _gate_coeffs,
     _masks,
     _mm,
-    _xor_lane,
 )
 
 
@@ -75,11 +75,6 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
         slot_row = lax.broadcasted_iota(jnp.int32, (1, r), 1)
         n_gates = okind.shape[-1]
         active = active_ref[0]                      # (1, R) broadcast row
-
-        def theta_of(xmat, s):
-            onehot = (slot_iota == s).astype(jnp.float32)
-            th = _mm(xmat, onehot)
-            return jnp.where(s >= 0, th, jnp.float32(0.0))
 
         # -- depolarizing-trajectory machinery (static: compiled out when
         # noise is None) ---------------------------------------------------
@@ -157,9 +152,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 t = tq_r[e, g]
                 c = cq_r[e, g]
                 s = slot_r[e, g]
-                coeffs = _gate_coeffs(k, theta_of(xmat, s))
-                b, act = _masks(t, c, col)
-                nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
+                nre, nim = _apply_gate_fast(re, im, k, t, c, s,
+                                            xmat, slot_row, col)
                 nre, nim = apply_noise(g, k, t, c, nre, nim)
                 return (nre, nim)
 
@@ -195,30 +189,13 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
                 # U^H = U) and bring the cotangent to the post-gate point
                 re, im = apply_noise(g, k, t, c, re, im)
                 lre, lim = apply_noise(g, k, t, c, lre, lim, transform="T")
-                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
-                    _gate_coeffs(k, theta_of(xmat, s))
-                b, act = _masks(t, c, col)
-
-                # d<theta> = 1/2 Im[(P psi)^T lambda]
-                pre = _xor_lane(re, t, d)
-                pim = _xor_lane(im, t, d)
-                sgn = 1.0 - 2.0 * b
-                is_rx = (k == _RX).astype(jnp.float32)
-                is_ry = (k == _RY).astype(jnp.float32)
-                is_rz = (k == _RZ).astype(jnp.float32)
-                pr = is_rx * pre + is_ry * (sgn * pim) + is_rz * (sgn * re)
-                pi = is_rx * pim + is_ry * (-sgn * pre) + is_rz * (sgn * im)
-                contrib = 0.5 * jnp.sum(pr * lim + pi * lre, axis=-1,
-                                        keepdims=True)
+                # specialized adjoint step: d<theta> row + U^H undo + U^T
+                # cotangent propagation, class-dispatched on the gate kind
+                re, im, lre, lim, contrib = _bwd_gate_fast(
+                    re, im, lre, lim, k, t, c, s, xmat, slot_row, col)
                 has_angle = (s >= 0).astype(jnp.float32)
                 dx = dx + has_angle * contrib * (
                     slot_row == s).astype(jnp.float32)
-
-                # undo state (U^H), propagate cotangent (U^T)
-                ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
-                re, im, _, _ = _apply_u(re, im, ch, t, b, act)
-                ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
-                lre, lim, _, _ = _apply_u(lre, lim, ct, t, b, act)
                 return (re, im, lre, lim, dx)
 
             dx0 = jnp.zeros((s_batch, r), jnp.float32)
@@ -301,9 +278,8 @@ def _make_kernel(iters: int, lr: float, b1: float = 0.9, b2: float = 0.999,
             t = ntq[e, g]
             c = ncq[e, g]
             s = nslot[e, g]
-            coeffs = _gate_coeffs(k, theta_of(x_new, s))
-            b, act = _masks(t, c, col)
-            nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
+            nre, nim = _apply_gate_fast(re, im, k, t, c, s,
+                                        x_new, slot_row, col)
             nre, nim = apply_noise(g, k, t, c, nre, nim)
             return (nre, nim)
 

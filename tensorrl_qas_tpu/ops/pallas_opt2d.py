@@ -47,6 +47,16 @@ VMEM then holds only ~8 live (S*R, 128) f32 state planes (forward state,
 backward state + cotangent, H psi scratch, psi0 tiles), so n = 16 fits
 with n_starts <= 4 and n = 15 with 8; ``AngleOptimizer._mega2d_ready``
 does the budget arithmetic.
+
+Round-3 dispatch: per-gate work is class-specialized (apply_gate_fast2d /
+bwd_gate_fast2d, twins of ops/pallas_apply.py's v1 versions) — the serial
+gate chain is VPU-latency-bound, and measured ~40% of the per-gate
+critical path was an unconditional prefix (HIGHEST one-hot angle matmuls,
+the 15-where coefficient select, roll pairs) that most gate kinds don't
+need.  Padding skips everything, RZ/Z skip the rolls, X/CX skip angle
+select + trig, RX/RY use two-term real forms; H/Y/controlled-rotations
+keep the generic path.  Angle selection itself is a VPU compare +
+masked lane-sum (bit-exact) instead of 6 MXU passes.
 """
 
 from __future__ import annotations
@@ -66,6 +76,8 @@ from tensorrl_qas_tpu.ops.pallas_apply import (
     _RY,
     _RZ,
     _X,
+    _Z,
+    _gate_class,
     _gate_coeffs,
 )
 from tensorrl_qas_tpu.ops.pallas_opt import MAX_ENV_PER_CALL, _chunk_env_calls
@@ -232,6 +244,152 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
             return (act * nre + (1.0 - act) * rr,
                     act * nim + (1.0 - act) * ii)
 
+        def theta_sr(xmat, s):
+            """Angle for slot s tiled to (SR, 1), VPU-exact: a compare +
+            masked lane-sum replaces the HIGHEST one-hot matmul (3 MXU
+            passes) and the start-tile matmul (3 more) of theta_rows —
+            the per-start expansion is a static unrolled select."""
+            hit = (slot_row == s).astype(jnp.float32)          # (1, R)
+            th = jnp.sum(xmat * hit, axis=-1, keepdims=True)   # (S, 1)
+            acc = jnp.zeros((sr, 1), jnp.float32)
+            for si in range(s_batch):
+                acc = acc + rep_s[:, si:si + 1] * lax.slice(
+                    th, (si, 0), (si + 1, 1))
+            return acc
+
+        # --- gate-kind-specialized dispatch (see pallas_apply.py's v1
+        # twins _apply_gate_fast/_bwd_gate_fast: the serial gate chain is
+        # VPU-latency-bound, so each class computes ONLY what it needs —
+        # padding skips everything, diagonals skip the roll pairs, X/CX
+        # skip angle select + trig, RX/RY skip the 4-term blend) ----------
+        def apply_gate_fast2d(re, im, k, t, c, s, xmat):
+            def cls_none(_):
+                return re, im
+
+            def cls_diag(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                b = bit_plane(t)
+                sgn = 1.0 - 2.0 * b
+                is_z = k == _Z
+                dr = jnp.where(is_z, sgn, cth)
+                di = jnp.where(is_z, 0.0, jnp.where(b == 0, -sth, sth))
+                return dr * re - di * im, dr * im + di * re
+
+            def cls_perm(_):
+                prr, pii = permute(re, im, t)
+                act = act_plane(c)
+                inv = 1.0 - act
+                return act * prr + inv * re, act * pii + inv * im
+
+            def cls_rx(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                prr, pii = permute(re, im, t)
+                return cth * re + sth * pii, cth * im - sth * prr
+
+            def cls_ry(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                prr, pii = permute(re, im, t)
+                b = bit_plane(t)
+                fr = sth * (2.0 * b - 1.0)
+                return cth * re + fr * prr, cth * im + fr * pii
+
+            def cls_generic(_):
+                cf = _gate_coeffs(k, theta_rows(xmat, s))
+                return apply_coeffs(re, im, cf, bit_plane(t),
+                                    act_plane(c), t)
+
+            return lax.switch(_gate_class(k, c),
+                              [cls_none, cls_diag, cls_perm, cls_rx,
+                               cls_ry, cls_generic], 0)
+
+        def bwd_gate_fast2d(re, im, lre, lim, k, t, c, s, xmat):
+            """One reverse-pass gate: (state U^H undo, cotangent U^T,
+            (S, 1) angle-gradient row).  Rotation classes share the
+            state rolls between the gradient term and the undo."""
+            zero_c = jnp.zeros((s_batch, 1), jnp.float32)
+
+            def grad(pr, pi):
+                rowsum = jnp.sum(pr * lim + pi * lre, axis=-1,
+                                 keepdims=True)                # (SR, 1)
+                return 0.5 * mm(seg, rowsum)                   # (S, 1)
+
+            def cls_none(_):
+                return re, im, lre, lim, zero_c
+
+            def cls_diag(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                b = bit_plane(t)
+                sgn = 1.0 - 2.0 * b
+                is_z = k == _Z
+                dr = jnp.where(is_z, sgn, cth)
+                di = jnp.where(is_z, 0.0, jnp.where(b == 0, -sth, sth))
+                cg = grad(sgn * re, sgn * im)
+                return (dr * re + di * im, dr * im - di * re,
+                        dr * lre - di * lim, dr * lim + di * lre, cg)
+
+            def cls_perm(_):
+                prr, pii = permute(re, im, t)
+                plr, pli = permute(lre, lim, t)
+                act = act_plane(c)
+                inv = 1.0 - act
+                return (act * prr + inv * re, act * pii + inv * im,
+                        act * plr + inv * lre, act * pli + inv * lim,
+                        zero_c)
+
+            def cls_rx(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                prr, pii = permute(re, im, t)
+                plr, pli = permute(lre, lim, t)
+                cg = grad(prr, pii)
+                return (cth * re - sth * pii, cth * im + sth * prr,
+                        cth * lre + sth * pli, cth * lim - sth * plr, cg)
+
+            def cls_ry(_):
+                th = theta_sr(xmat, s)
+                cth = jnp.cos(0.5 * th)
+                sth = jnp.sin(0.5 * th)
+                prr, pii = permute(re, im, t)
+                plr, pli = permute(lre, lim, t)
+                b = bit_plane(t)
+                sgn = 1.0 - 2.0 * b
+                cg = grad(sgn * pii, -sgn * prr)
+                fr = sth * (2.0 * b - 1.0)
+                return (cth * re - fr * prr, cth * im - fr * pii,
+                        cth * lre - fr * plr, cth * lim - fr * pli, cg)
+
+            def cls_generic(_):
+                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
+                    _gate_coeffs(k, theta_rows(xmat, s))
+                b = bit_plane(t)
+                act = act_plane(c)
+                prr, pii = permute(re, im, t)
+                sgn = 1.0 - 2.0 * b
+                is_rx = (k == _RX).astype(jnp.float32)
+                is_ry = (k == _RY).astype(jnp.float32)
+                is_rz = (k == _RZ).astype(jnp.float32)
+                pr = is_rx * prr + is_ry * (sgn * pii) + is_rz * (sgn * re)
+                pi = is_rx * pii + is_ry * (-sgn * prr) + is_rz * (sgn * im)
+                cg = grad(act * pr, act * pi)
+                ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
+                nre, nim = apply_coeffs(re, im, ch, b, act, t)
+                ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
+                nlr, nli = apply_coeffs(lre, lim, ct, b, act, t)
+                return nre, nim, nlr, nli, cg
+
+            return lax.switch(_gate_class(k, c),
+                              [cls_none, cls_diag, cls_perm, cls_rx,
+                               cls_ry, cls_generic], 0)
+
         # -- depolarizing-trajectory machinery (compiled out when noise is
         # None); see ops/pallas_opt.py for the v1 twin ----------------------
         if noise is not None:
@@ -292,11 +450,7 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 t = tq_r[e, g]
                 c = cq_r[e, g]
                 s = slot_r[e, g]
-                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
-                    _gate_coeffs(k, theta_rows(xmat, s))
-                cf = (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i)
-                re, im = apply_coeffs(re, im, cf, bit_plane(t),
-                                      act_plane(c), t)
+                re, im = apply_gate_fast2d(re, im, k, t, c, s, xmat)
                 re, im = apply_noise(g, k, t, c, re, im)
                 return (re, im)
 
@@ -395,31 +549,14 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 # cotangent to the post-gate point
                 re, im = apply_noise(g, k, t, c, re, im)
                 lre, lim = apply_noise(g, k, t, c, lre, lim, transform="T")
-                (u00r, u00i, u01r, u01i, u10r, u10i, u11r, u11i) = \
-                    _gate_coeffs(k, theta_rows(xmat, s))
-                b = bit_plane(t)
-                act = act_plane(c)
 
-                # d<theta> = 1/2 Im[(P psi)^T lambda], P in {X, Y, Z}
-                pre, pim = permute(re, im, t)
-                sgn = 1.0 - 2.0 * b
-                is_rx = (k == _RX).astype(jnp.float32)
-                is_ry = (k == _RY).astype(jnp.float32)
-                is_rz = (k == _RZ).astype(jnp.float32)
-                pr = is_rx * pre + is_ry * (sgn * pim) + is_rz * (sgn * re)
-                pi = is_rx * pim + is_ry * (-sgn * pre) + is_rz * (sgn * im)
-                rowsum = jnp.sum(pr * lim + pi * lre, axis=-1,
-                                 keepdims=True)              # (SR, 1)
-                contrib = 0.5 * mm(seg, rowsum)              # (S, 1)
+                # specialized adjoint step: d<theta> row + U^H undo + U^T
+                # cotangent propagation, class-dispatched on the gate kind
+                re, im, lre, lim, contrib = bwd_gate_fast2d(
+                    re, im, lre, lim, k, t, c, s, xmat)
                 has_angle = (s >= 0).astype(jnp.float32)
                 dx = dx + has_angle * contrib * (
                     slot_row == s).astype(jnp.float32)
-
-                # undo state with U^H; propagate cotangent with U^T
-                ch = (u00r, -u00i, u10r, -u10i, u01r, -u01i, u11r, -u11i)
-                re, im = apply_coeffs(re, im, ch, b, act, t)
-                ct = (u00r, u00i, u10r, u10i, u01r, u01i, u11r, u11i)
-                lre, lim = apply_coeffs(lre, lim, ct, b, act, t)
                 return (re, im, lre, lim, dx)
 
             dx0 = jnp.zeros((s_batch, r), jnp.float32)
