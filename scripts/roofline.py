@@ -58,7 +58,7 @@ def measure(n: int, iters_lo: int, iters_hi: int, n_envs: int, s: int,
             np.imag(psi).astype(np.float32))
     key = __import__("jax").random.PRNGKey(0)
 
-    def timed(iters, reps=3):
+    def timed(iters, reps=5):
         opt = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=iters,
                              n_starts=s, dtype=jnp.complex64,
                              use_pallas=True)
@@ -73,11 +73,16 @@ def measure(n: int, iters_lo: int, iters_hi: int, n_envs: int, s: int,
             __import__("jax").random.split(key, b))
         opt.fused_step_batch(psi0, old_b, x0_b, [tape.n_rots] * b, old_b,
                              map_b, keys)   # compile+warm
-        t0 = time.time()
+        # min over reps, not mean: the tunneled transport has one-sided
+        # latency spikes that inflate a single call by seconds (observed
+        # at n=14), and min is the robust estimator under such noise
+        best = np.inf
         for _ in range(reps):
+            t0 = time.time()
             opt.fused_step_batch(psi0, old_b, x0_b, [tape.n_rots] * b,
                                  old_b, map_b, keys)
-        return (time.time() - t0) / reps
+            best = min(best, time.time() - t0)
+        return best
 
     t_lo = timed(iters_lo)
     t_hi = timed(iters_hi)

@@ -217,3 +217,66 @@ def test_su4_vectorized_env():
     obs, rewards, dones, infos = venv.step_all([acts[5], acts[0], acts[12]])
     # replicas advance independently and optimize 2q-rotation angles
     assert venv.envs[0].energy < e0 + 1e-9
+
+
+H2O_GEOM = ("H -0.021 -0.002 0.000; O 0.835 0.452 0.000; "
+            "H 1.477 -0.273 0.000")
+
+
+def test_su4_in_state_warmstart_resolution_and_embedding():
+    """gate_set='su4' + tn_placement='in_state' resolves the su4-basis
+    warm start (init_*_su4.qasm, the consumer of the reference
+    dmrg_to_qc.py SU4 flag that no upstream env ever wired) and embeds
+    its RXX/RYY/RZZ + 1q rotations into the SU4StateTensor."""
+    from tensorrl_qas_tpu.envs import CircuitEnv, EnvConfig
+    from tensorrl_qas_tpu.problems.hamiltonians import resolve_data_file
+
+    try:
+        resolve_data_file(
+            "init_state_circ/init_H2O_8q_geom_H_-0.021_-0.002_0.000;"
+            "_O_0.835_0.452_0.000;_H_1.477_-0.273_0.000_jordan_wigner"
+            "_TNbond2_su4.qasm")
+    except FileNotFoundError:
+        pytest.skip("no su4 warm-start data")
+    cfg = EnvConfig(
+        num_qubits=8, num_layers=47, ham_type="H2O", geometry=H2O_GEOM,
+        tn_placement="in_state", tn_init=1, tn_bond=2, accept_err=1.6e-3,
+        curriculum_conf={"thresholds": [1.6e-3],
+                         "switch_episodes": [100000],
+                         "accept_err": 1.6e-3},
+        optim_alg="adam", global_iters=4, n_starts=2,
+        sim_dtype="complex64", seed=3, gate_set="su4")
+    env = CircuitEnv(cfg)
+    # the su4-basis warm start is pure Pauli rotations (no CNOTs)
+    assert env.tn_tape.cnot_count == 0
+    assert env.tn_tape.n_rots > 0
+    env.reset()
+    n = 8
+    # embedded two-qubit rotation one-hots live in rows 0..3n-1
+    assert np.sum(env.state.data[:, : 3 * n] == 1) > 0
+    # warm-start energy must sit near the cnot-basis warm start's error
+    assert env.error < 5e-3
+    # an episode step on top of the embedded tape works end-to-end
+    aid, act = next(iter(env.action_dict.items()))
+    env.step(act)
+    assert np.isfinite(env.energy)
+
+
+def test_su4_in_state_requires_su4_basis_warmstart():
+    """A cnot-basis-only warm start must fail fast for su4 in_state."""
+    from tensorrl_qas_tpu.envs import CircuitEnv, EnvConfig
+    from tensorrl_qas_tpu.problems.hamiltonians import resolve_data_file
+
+    try:
+        resolve_data_file("mol_data/heisenberg_5q.npz")
+    except FileNotFoundError:
+        pytest.skip("no data")
+    cfg = EnvConfig(
+        num_qubits=5, num_layers=20, ham_type="heisenberg",
+        tn_placement="in_state", tn_init=1, tn_bond=2, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=4, n_starts=2,
+        sim_dtype="complex64", seed=3, gate_set="su4")
+    with pytest.raises(FileNotFoundError, match="su4-basis warm start"):
+        CircuitEnv(cfg)
