@@ -41,7 +41,9 @@ BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 # (the modeled 2^dn baselines are superseded per-size when a measured
 # BASELINE_MEASURED.json exists — scripts/bench_baseline_cobyla.py)
 ROWS = {
-    8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg", 64, 1.0, BASE_8Q),
+    # 8q default n_envs=128: the gate-class dispatch moved the batch knee
+    # (64 envs: 178.8 steps/s; 128 envs: 262.0 — see RESULTS batch sweep)
+    8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg", 128, 1.0, BASE_8Q),
     10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg", 32, 0.5, BASE_8Q / 4),
     12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg", 16, 0.25, BASE_8Q / 16),
     14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg", 16, 0.25,
