@@ -171,10 +171,14 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
 
     tn_tape = None
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
-        qasm = resolve_data_file(warmstart_qasm_name(
+        qasm_rel = warmstart_qasm_name(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
-            conf["problem"].get("geometry"), conf["problem"].get("mapping")))
-        tn_tape = load_qasm_tape(qasm)
+            conf["problem"].get("geometry"), conf["problem"].get("mapping"))
+        if gate_set == "su4":
+            # su4 runs embed the su4-basis warm start (same resolution
+            # rule as CircuitEnv)
+            qasm_rel = qasm_rel.replace(".qasm", "_su4.qasm")
+        tn_tape = load_qasm_tape(resolve_data_file(qasm_rel))
 
     summary = np.load(summary_path, allow_pickle=True).item()
     train = summary["train"]
