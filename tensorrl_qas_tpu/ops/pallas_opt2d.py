@@ -62,6 +62,7 @@ masked lane-sum (bit-exact) instead of 6 MXU passes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tensorrl_qas_tpu.ops.pallas_apply import (
     _CX,
+    _NONE,
     _RX,
     _RY,
     _RZ,
@@ -95,6 +97,17 @@ W_RESIDENT_MAX = 12 * 2**20  # W planes above this stream from HBM
                              # (12q molecular = 9.3 MB stays resident —
                              # the proven round-2 configuration; 13q+
                              # molecular and 16q chains stream)
+DISPATCH_MAX_ROWS = 128      # full class-specialized gate dispatch below
+                             # this row-tile count (n <= 13); at n >= 14
+                             # the 6-way branch boundaries cost more than
+                             # the skipped work on REAL gates (+46% at
+                             # n=14, hardware probe in RESULTS.md), but
+                             # the padding skip stays essential (fixed
+                             # tapes are mostly padding early in every
+                             # episode, 6.7x there) — so large sizes drop
+                             # to a 2-way padding/generic dispatch.
+                             # TRLQAS_V2_DISPATCH=0/1/2 forces
+                             # none/padding-only/full for probing.
 
 
 def pauli_flip_groups(pauli, dtype=np.float32):
@@ -127,12 +140,21 @@ def pauli_flip_groups(pauli, dtype=np.float32):
 
 def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                  flips: tuple, b1: float = 0.9, b2: float = 0.999,
-                 eps: float = 1e-8, noise=None, stream_w: bool = False):
+                 eps: float = 1e-8, noise=None, stream_w: bool = False,
+                 dispatch: int = 2):
     """``noise=(p1, p2)``: in-kernel depolarizing trajectories (same
     machinery as ops/pallas_opt.py v1 — TPU PRNG re-draws per Adam
     iteration, error Paulis ride the roll-based gate apply).
     ``stream_w``: W coefficient planes live in HBM and are DMA'd per
-    group inside h_apply (large n / many groups)."""
+    group inside h_apply (large n / many groups).
+    ``dispatch``: 2 = full 6-way class-specialized per-gate branches
+    (see module docstring); 1 = padding-only (2-way: NONE skips, every
+    real gate takes the unconditional generic apply — at large row-tile
+    counts Mosaic loses cross-gate value reuse across the 6-way branch
+    boundaries and real-gate dispatch REGRESSES the serial chain,
+    measured +46% at n=14, while the padding skip stays a 6.7x win on
+    the padding-dominated early-episode tapes); 0 = none (pre-dispatch
+    unconditional apply, probing only)."""
     sr = s_batch * r_rows
     log_r = int(np.log2(r_rows))
 
@@ -304,6 +326,10 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 return apply_coeffs(re, im, cf, bit_plane(t),
                                     act_plane(c), t)
 
+            if dispatch == 0:
+                return cls_generic(0)
+            if dispatch == 1:
+                return lax.cond(k == _NONE, cls_none, cls_generic, 0)
             return lax.switch(_gate_class(k, c),
                               [cls_none, cls_diag, cls_perm, cls_rx,
                                cls_ry, cls_generic], 0)
@@ -386,6 +412,10 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 nlr, nli = apply_coeffs(lre, lim, ct, b, act, t)
                 return nre, nim, nlr, nli, cg
 
+            if dispatch == 0:
+                return cls_generic(0)
+            if dispatch == 1:
+                return lax.cond(k == _NONE, cls_none, cls_generic, 0)
             return lax.switch(_gate_class(k, c),
                               [cls_none, cls_diag, cls_perm, cls_rx,
                                cls_ry, cls_generic], 0)
@@ -681,8 +711,11 @@ def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                             noise=None, seeds=None, stream_w: bool = False):
     n_env, s_batch, r = starts.shape
     r_rows = p0re.shape[0]
+    _force = os.environ.get("TRLQAS_V2_DISPATCH")
+    dispatch = ((2 if r_rows < DISPATCH_MAX_ROWS else 1) if _force is None
+                else int(_force))
     kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
-                          stream_w=stream_w)
+                          stream_w=stream_w, dispatch=dispatch)
     sr = s_batch * r_rows
 
     def spec(shape, mapper):
