@@ -43,12 +43,15 @@ BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 ROWS = {
     # 8q default n_envs=128: the gate-class dispatch moved the batch knee
     # (64 envs: 178.8 steps/s; 128 envs: 262.0 — see RESULTS batch sweep)
+    # n_envs defaults sit at the measured batch knees (RESULTS.md
+    # batch-headroom sweep): 8q 128 (262-270 steps/s), 10q 64 (70.3),
+    # 12q 16 (17.6), 14q 64 (30.2), 16q 16 (2.6)
     8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg", 128, 1.0, BASE_8Q),
-    10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg", 32, 0.5, BASE_8Q / 4),
+    10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg", 64, 0.5, BASE_8Q / 4),
     12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg", 16, 0.25, BASE_8Q / 16),
-    14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg", 16, 0.25,
+    14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg", 64, 0.25,
          BASE_8Q / 64),
-    16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg", 8, 0.25,
+    16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg", 16, 0.25,
          BASE_8Q / 256),
 }
 
