@@ -39,8 +39,7 @@ from tensorrl_qas_tpu.circuits.tensor_ir import (
     embed_tape,
 )
 from tensorrl_qas_tpu.problems.hamiltonians import (
-    resolve_data_file,
-    warmstart_qasm_name,
+    resolve_warmstart_qasm,
 )
 from tensorrl_qas_tpu.train.config import get_config
 
@@ -87,9 +86,13 @@ def circuit_stats(action_ids, n, num_layers, action_dict, tn_tape=None,
 
 
 def _rot_keys(state, n):
-    """Rotation identities (layer, axis, qubit) in to_tape slot order."""
-    ls, ax, q = np.nonzero(state.data[:, n:n + 3] == 1)
-    return list(zip(ls.tolist(), ax.tolist(), q.tolist()))
+    """Rotation identities (layer, row, col) in to_tape slot order.
+
+    ``rot_positions()`` covers both state-tensor classes: the cnot 1q
+    axis block and the su4 2q+1q parametric block (tensor_ir.py)."""
+    del n  # kept for call-site compatibility; the state knows its layout
+    ls, rows, cols = state.rot_positions()
+    return list(zip(ls.tolist(), rows.tolist(), cols.tolist()))
 
 
 def f64_error(actions, angles, conf, tn_placement, num_layers, action_dict,
@@ -144,9 +147,9 @@ def f64_error(actions, angles, conf, tn_placement, num_layers, action_dict,
     tape = state_new.to_tape(cap, max(len(new_keys), 1))
 
     if tn_placement == "fixed" and conf["env"].get("tn_init"):
-        qasm = resolve_data_file(warmstart_qasm_name(
+        qasm = resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
-            conf["problem"].get("geometry"), conf["problem"].get("mapping")))
+            conf["problem"].get("geometry"), conf["problem"].get("mapping"))
         wtape = load_qasm_tape(qasm)
         psi0 = apply_tape(zero_state(n, jnp.complex128),
                           *map(jnp.asarray, wtape.arrays()),
@@ -171,14 +174,12 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
 
     tn_tape = None
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
-        qasm_rel = warmstart_qasm_name(
+        # su4 runs embed the su4-basis warm start — one resolution rule
+        # shared with CircuitEnv (problems/hamiltonians.py)
+        tn_tape = load_qasm_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
-            conf["problem"].get("geometry"), conf["problem"].get("mapping"))
-        if gate_set == "su4":
-            # su4 runs embed the su4-basis warm start (same resolution
-            # rule as CircuitEnv)
-            qasm_rel = qasm_rel.replace(".qasm", "_su4.qasm")
-        tn_tape = load_qasm_tape(resolve_data_file(qasm_rel))
+            conf["problem"].get("geometry"), conf["problem"].get("mapping"),
+            gate_set=gate_set, tn_placement=tn_placement))
 
     summary = np.load(summary_path, allow_pickle=True).item()
     train = summary["train"]

@@ -107,7 +107,6 @@ def main() -> int:
     record = {"n_qubits": 20, "mesh": str(mesh_desc),
               "global_iters": args.global_iters, "n_starts": args.n_starts,
               "min_eig_bound": float(env.min_eig), "episodes": []}
-    rng = np.random.default_rng(args.seed)
     for ep in range(args.episodes):
         state = env.reset()
         state = modify_state(state, env, conf)
@@ -137,7 +136,6 @@ def main() -> int:
             "steps": steps, "wall_s": time.time() - t_ep,
             "energies": traj, "best": float(min(traj)),
             "warmstart": traj[0]})
-        rng = np.random.default_rng(args.seed + ep + 1)
 
     best = min(e["best"] for e in record["episodes"])
     record["best_energy"] = best

@@ -31,8 +31,7 @@ from tensorrl_qas_tpu.circuits.actions import action_dictionary  # noqa: E402
 from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape  # noqa: E402
 from tensorrl_qas_tpu.problems.hamiltonians import (  # noqa: E402
     load_problem,
-    resolve_data_file,
-    warmstart_qasm_name,
+    resolve_warmstart_qasm,
 )
 from tensorrl_qas_tpu.train.config import get_config  # noqa: E402
 
@@ -48,6 +47,10 @@ def main() -> int:
     p.add_argument("--restarts", type=int, default=3)
     p.add_argument("--which", choices=["best", "best_done"], default="best")
     p.add_argument("--topology", default=None)
+    p.add_argument("--gate_set", choices=["cnot", "su4"], default=None,
+                   help="action basis of the run (default: the config's "
+                        "gate_set key, else cnot); required for summaries "
+                        "from runs launched with the CLI --gate_set flag")
     p.add_argument("--topk", type=int, default=1,
                    help="polish the K best *distinct-structure* episodes "
                         "(distinct action prefixes), not just the single "
@@ -74,14 +77,16 @@ def main() -> int:
     num_layers = conf["env"]["num_layers"]
     topology = (args.topology or conf["env"].get("topology")
                 or "all_to_all")
-    action_dict = action_dictionary(n, topology)
+    gate_set = args.gate_set or conf["env"].get("gate_set", "cnot")
+    action_dict = action_dictionary(n, topology, gate_set=gate_set)
 
     tn_tape = None
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
-        tn_tape = load_qasm_tape(resolve_data_file(warmstart_qasm_name(
+        tn_tape = load_qasm_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"),
-            conf["problem"].get("mapping"))))
+            conf["problem"].get("mapping"),
+            gate_set=gate_set, tn_placement=tn_placement))
 
     summary = np.load(d / f"summary_{args.seed}.npy",
                       allow_pickle=True).item()["train"]
@@ -119,18 +124,21 @@ def main() -> int:
                         mapping=conf["problem"].get("mapping",
                                                     "jordan_wigner"))
     if tn_placement == "fixed" and conf["env"].get("tn_init"):
-        wtape = load_qasm_tape(resolve_data_file(warmstart_qasm_name(
+        wtape = load_qasm_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"),
-            conf["problem"].get("mapping"))))
+            conf["problem"].get("mapping"),
+            gate_set=gate_set, tn_placement=tn_placement))
         psi0 = apply_tape(zero_state(n, jnp.complex128),
                           *map(jnp.asarray, wtape.arrays()),
-                          jnp.asarray(wtape.x0()))
+                          jnp.asarray(wtape.x0()),
+                          enable_2q=(gate_set == "su4"))
     else:
         psi0 = zero_state(n, jnp.complex128)
     opt = AngleOptimizer(prob.pauli.device_arrays(jnp.complex128),
                          iters=args.iters, n_starts=args.n_starts,
-                         dtype=jnp.complex128, use_pallas=False)
+                         dtype=jnp.complex128, use_pallas=False,
+                         enable_2q=(gate_set == "su4"))
     e_min = float(prob.min_eig)
 
     rows = []
@@ -139,9 +147,11 @@ def main() -> int:
         # semantics, same as analyze_longrun.f64_error)
         stats, state_new = circuit_stats(best["actions"], n, num_layers,
                                          action_dict, tn_tape, zero_params,
+                                         gate_set=gate_set,
                                          return_state=True)
         _, state_old = circuit_stats(best["actions"][:-1], n, num_layers,
                                      action_dict, tn_tape, zero_params,
+                                     gate_set=gate_set,
                                      return_state=True)
         angles = np.asarray(best["angles"], dtype=np.float64).ravel()
         old_keys = _rot_keys(state_old, n)

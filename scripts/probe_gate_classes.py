@@ -10,10 +10,11 @@ XOR-partner rolls), and X/CX must beat rotations (no angle select/trig).
 Run on a quiet chip; host contention inflates slopes ~2x.
 """
 import argparse
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax

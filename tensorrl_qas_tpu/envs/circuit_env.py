@@ -51,8 +51,7 @@ from tensorrl_qas_tpu.envs.illegal import IllegalActionTracker
 from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
 from tensorrl_qas_tpu.problems.hamiltonians import (
     load_problem,
-    resolve_data_file,
-    warmstart_qasm_name,
+    resolve_warmstart_qasm,
 )
 from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
 
@@ -190,29 +189,13 @@ class CircuitEnv:
         self.tn_depth = 0
         self._tn_psi = None
         if cfg.tn_init and cfg.tn_bond:
-            qasm_rel = warmstart_qasm_name(cfg.ham_type, n, cfg.tn_bond,
-                                           cfg.geometry, cfg.mapping)
-            if cfg.gate_set == "su4":
-                # su4 episodes want the RXX/RYY/RZZ-basis warm start
-                # (reference dmrg_to_qc.py's SU4 flag, whose output no
-                # upstream env ever consumed).  in_state placement NEEDS
-                # it (a CNOT tape cannot embed into an SU4StateTensor);
-                # fixed placement only compiles the warm start to a
-                # statevector, which is basis-independent, so the CNOT
-                # qasm is an acceptable fallback there.
-                su4_rel = qasm_rel.replace(".qasm", "_su4.qasm")
-                try:
-                    qasm_path = resolve_data_file(su4_rel)
-                except FileNotFoundError:
-                    if cfg.tn_placement == "in_state":
-                        raise FileNotFoundError(
-                            f"gate_set='su4' with tn_placement='in_state' "
-                            f"requires an su4-basis warm start ({su4_rel}); "
-                            f"generate one with scripts/generate_data.py "
-                            f"--basis su4")
-                    qasm_path = resolve_data_file(qasm_rel)
-            else:
-                qasm_path = resolve_data_file(qasm_rel)
+            # su4 episodes want the RXX/RYY/RZZ-basis warm start
+            # (reference dmrg_to_qc.py's SU4 flag, whose output no
+            # upstream env ever consumed); the basis/fallback rule lives
+            # in resolve_warmstart_qasm, shared with the analysis tools.
+            qasm_path = resolve_warmstart_qasm(
+                cfg.ham_type, n, cfg.tn_bond, cfg.geometry, cfg.mapping,
+                gate_set=cfg.gate_set, tn_placement=cfg.tn_placement)
             self.tn_tape = load_qasm_tape(qasm_path)
             self.tn_depth = self.tn_tape.depth()
             if cfg.tn_placement == "fixed":

@@ -688,12 +688,18 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     which bounds the per-launch env count).
     """
     cap = MAX_ENV_PER_CALL if max_env_per_call is None else max_env_per_call
+    # resolved OUTSIDE the jitted call and passed as a static argument, so
+    # probing harnesses that flip TRLQAS_V2_DISPATCH between calls get a
+    # fresh executable instead of a silently reused trace
+    _force = os.environ.get("TRLQAS_V2_DISPATCH")
+    dispatch = ((2 if p0re.shape[0] < DISPATCH_MAX_ROWS else 1)
+                if _force is None else int(_force))
 
     def call(o, nw, mi, *, starts, active, seeds):
         return _fused_adam_step_call2d(
             o, nw, mi, p0re, p0im, wre, wim, flips, starts, active,
             iters=iters, lr=lr, interpret=interpret, noise=noise,
-            seeds=seeds, stream_w=stream_w)
+            seeds=seeds, stream_w=stream_w, dispatch=dispatch)
 
     if starts.shape[0] > cap:
         return _chunk_env_calls(call, old_arrs, new_arrs, map_idx,
@@ -704,16 +710,14 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
 
 @functools.partial(jax.jit,
                    static_argnames=("flips", "iters", "lr", "interpret",
-                                    "noise", "stream_w"))
+                                    "noise", "stream_w", "dispatch"))
 def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                             wre, wim, flips, starts, active, *,
                             iters: int, lr: float, interpret: bool = False,
-                            noise=None, seeds=None, stream_w: bool = False):
+                            noise=None, seeds=None, stream_w: bool = False,
+                            dispatch: int = 2):
     n_env, s_batch, r = starts.shape
     r_rows = p0re.shape[0]
-    _force = os.environ.get("TRLQAS_V2_DISPATCH")
-    dispatch = ((2 if r_rows < DISPATCH_MAX_ROWS else 1) if _force is None
-                else int(_force))
     kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
                           stream_w=stream_w, dispatch=dispatch)
     sr = s_batch * r_rows

@@ -89,6 +89,33 @@ def extend_tape_arrays(arrs, kt, kc):
     return ext_kind, ext_tq, ext_cq, ext_slot
 
 
+def make_multistarts(x0, active, kn, n_starts, fresh_starts, restart_scale,
+                     lead_shape=()):
+    """Multi-start batch: start 0 = exact warm start, middle starts =
+    warm + Gaussian, and the last ``fresh_starts`` centered at ZERO
+    (one exactly zero).  Zero-centered starts cover basins the
+    warm-started family can miss (the round-3 structure search found
+    its deep minima exclusively from zero starts); the reference's
+    COBYLA warm-starts exclusively (``environment_qulacs.py:436-441``),
+    so this widens basin coverage at identical evaluation budget while
+    start 0 keeps exact reference parity.
+
+    One definition shared by the single-chip ``AngleOptimizer`` and the
+    amplitude-sharded ``ShardedAngleOptimizer`` — the start policy must
+    not drift between the two paths."""
+    s = n_starts
+    f = fresh_starts
+    shape = (*lead_shape, s, x0.shape[-1])
+    noise = jax.random.normal(kn, shape, dtype=x0.dtype) * restart_scale
+    noise = noise.at[..., 0, :].set(0.0)
+    starts = x0[..., None, :] + noise
+    if f:
+        fresh = noise[..., s - f:, :]
+        fresh = fresh.at[..., 0, :].set(0.0)
+        starts = starts.at[..., s - f:, :].set(fresh)
+    return starts * active[..., None, :]
+
+
 class AngleOptimizer:
     """Compiled per-step angle optimizer bound to one problem + tape shape.
 
@@ -146,6 +173,11 @@ class AngleOptimizer:
         self.pallas_engine = "auto"
         self._w2d = None
         self._w2d_stream = False
+        # cached VMEM-budget rejection: _pick_engine runs every env step
+        # and must not rebuild (and discard) the W planes each time.
+        # Valid because _pauli_obj is assigned once per optimizer
+        # (circuit_env.py creates a fresh optimizer per problem).
+        self._w2d_rejected = False
         self._energy_jit = jax.jit(self._energy)
         self._opt_jit = jax.jit(self._optimize_multistart)
         self._fused_jit = jax.jit(self._fused_step)
@@ -196,7 +228,7 @@ class AngleOptimizer:
         n_starts <= 4."""
         if self._w2d is not None:
             return True
-        if self._pauli_obj is None:
+        if self._pauli_obj is None or self._w2d_rejected:
             return False
         from tensorrl_qas_tpu.ops.pallas_opt2d import (
             MAX_DIM_2D,
@@ -208,9 +240,16 @@ class AngleOptimizer:
 
         d = 1 << self._pauli_obj.n_qubits
         if not (MIN_DIM_2D <= d <= MAX_DIM_2D):
+            self._w2d_rejected = True
             return False
         r_rows = d // 128
         state_bytes = 8 * self.n_starts * r_rows * 128 * 4
+        # cheap pre-plane rejection: the state planes alone bust the
+        # budget even with fully streamed W (one (R, C) buffer pair) —
+        # don't build (and then discard) the W planes every env step
+        if state_bytes + 2 * r_rows * 128 * 4 > VMEM_BUDGET:
+            self._w2d_rejected = True
+            return False
         wre, wim, flips = pauli_flip_groups(self._pauli_obj)
         w_bytes = 2 * len(flips) * r_rows * 128 * 4
         # stream when the planes are big OR at n=16 where the state
@@ -220,6 +259,7 @@ class AngleOptimizer:
         stream = w_bytes > W_RESIDENT_MAX or d > 32768
         resident = (2 * r_rows * 128 * 4) if stream else w_bytes
         if state_bytes + resident > VMEM_BUDGET:
+            self._w2d_rejected = True   # cache: _pick_engine runs per step
             return False
         self._w2d_stream = stream
         self._w2d = (jnp.asarray(wre), jnp.asarray(wim), flips)
@@ -353,26 +393,9 @@ class AngleOptimizer:
         return jnp.where(better, x, best_x), jnp.where(better, e_final, best_e)
 
     def _make_starts(self, x0, active, kn, lead_shape=()):
-        """Multi-start batch: start 0 = exact warm start, middle starts =
-        warm + Gaussian, and the last ``fresh_starts`` centered at ZERO
-        (one exactly zero).  Zero-centered starts cover basins the
-        warm-started family can miss (the round-3 structure search found
-        its deep minima exclusively from zero starts); the reference's
-        COBYLA warm-starts exclusively (``environment_qulacs.py:436-441``),
-        so this widens basin coverage at identical evaluation budget while
-        start 0 keeps exact reference parity."""
-        s = self.n_starts
-        f = self.fresh_starts
-        shape = (*lead_shape, s, x0.shape[-1])
-        noise = jax.random.normal(kn, shape, dtype=x0.dtype) \
-            * self.restart_scale
-        noise = noise.at[..., 0, :].set(0.0)
-        starts = x0[..., None, :] + noise
-        if f:
-            fresh = noise[..., s - f:, :]
-            fresh = fresh.at[..., 0, :].set(0.0)
-            starts = starts.at[..., s - f:, :].set(fresh)
-        return starts * active[..., None, :]
+        return make_multistarts(x0, active, kn, self.n_starts,
+                                self.fresh_starts, self.restart_scale,
+                                lead_shape=lead_shape)
 
     def _optimize_multistart(self, psi0, kind, tq, cq, slot, x0, active, key):
         kn, ko = jax.random.split(key)

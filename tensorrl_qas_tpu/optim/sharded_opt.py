@@ -134,17 +134,9 @@ class ShardedAngleOptimizer:
                     key):
         b1, b2, eps = 0.9, 0.999, 1e-8
         kn, knz = jax.random.split(key)
-        s, f = self.n_starts, self.n_starts // 4
-        noise = jax.random.normal(kn, (s, x0.shape[0]),
-                                  dtype=x0.dtype) * self.restart_scale
-        noise = noise.at[0].set(0.0)                  # start 0 = warm start
-        starts = x0[None, :] + noise
-        if f:
-            # zero-centered fresh starts (one exactly zero) — escape the
-            # greedy warm-start basin; see AngleOptimizer._make_starts
-            fresh = noise[s - f:].at[0].set(0.0)
-            starts = starts.at[s - f:].set(fresh)
-        starts = starts * active[None, :]
+        from tensorrl_qas_tpu.optim.angle_opt import make_multistarts
+        starts = make_multistarts(x0, active, kn, self.n_starts,
+                                  self.n_starts // 4, self.restart_scale)
         starts = jax.lax.with_sharding_constraint(
             starts, NamedSharding(self.mesh, P("dp")))
 

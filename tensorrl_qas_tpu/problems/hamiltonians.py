@@ -230,3 +230,35 @@ def warmstart_qasm_name(ham_type: str, n_qubits: int, tn_bond: int,
     geom = geometry.replace(" ", "_")
     return (f"init_state_circ/init_{ham_type}_{n_qubits}q_geom_{geom}_"
             f"{mapping}_TNbond{tn_bond}.qasm")
+
+
+def resolve_warmstart_qasm(ham_type: str, n_qubits: int, tn_bond: int,
+                           geometry: str = "",
+                           mapping: str = "jordan_wigner", *,
+                           gate_set: str = "cnot",
+                           tn_placement: str = "fixed") -> str:
+    """Locate the warm-start qasm, including the su4-basis resolution rule.
+
+    ``gate_set='su4'`` prefers the RXX/RYY/RZZ-basis warm start
+    (``init_*_su4.qasm``, reference dmrg_to_qc.py's SU4 flag).
+    ``tn_placement='in_state'`` NEEDS it (a CNOT tape cannot embed into
+    an SU4StateTensor), so a missing su4 qasm raises there; ``'fixed'``
+    placement only compiles the warm start to a statevector, which is
+    basis-independent, so the CNOT qasm is an acceptable fallback.
+
+    The single resolver for CircuitEnv, analyze_longrun and polish_best
+    — the rule must not drift between training and analysis."""
+    rel = warmstart_qasm_name(ham_type, n_qubits, tn_bond, geometry,
+                              mapping)
+    if gate_set != "su4":
+        return resolve_data_file(rel)
+    su4_rel = rel.replace(".qasm", "_su4.qasm")
+    try:
+        return resolve_data_file(su4_rel)
+    except FileNotFoundError:
+        if tn_placement == "in_state":
+            raise FileNotFoundError(
+                f"gate_set='su4' with tn_placement='in_state' requires "
+                f"an su4-basis warm start ({su4_rel}); generate one with "
+                f"scripts/generate_data.py --basis su4")
+        return resolve_data_file(rel)

@@ -55,7 +55,11 @@ def collect_demo_transitions(cfg, conf, gates, extra_rotation: bool = True):
     acts4 = [[c, (t - c) % n, n, 0] if k == 4 else [n, 0, t, k]
              for (k, t, c) in gates]
     if extra_rotation and len(acts4) < venv1.envs[0].num_layers_termination:
-        acts4.append([n, 0, 0, 3])
+        # optional joint-optimization trigger — skip it when the action
+        # space has no rotation actions (e.g. the reference's restricted
+        # hexagon table, which strips them) instead of failing the demo
+        if tuple([n, 0, 0, 3]) in inv:
+            acts4.append([n, 0, 0, 3])
     states = venv1.reset_all()
     states = modify_states(states, venv1, conf)
     out = []
