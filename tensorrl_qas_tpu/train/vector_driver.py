@@ -185,6 +185,7 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
     episodes_done = 0
     successes = 0
     best_error = np.inf
+    best_step_error = np.inf
     t0 = time.time()
     t_last = t0
     steps = 0
@@ -206,6 +207,11 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
                            next_states[i], float(dones[i]), env_id=i + 1)
             ep_bufs.append_step(i, actions[i], venv.envs[i], rewards[i],
                                 dt_step)
+            # best_error: episode-FINAL errors only (successes end their
+            # episode, so threshold hits are captured — the early-stop
+            # semantics); best_step_error: any intra-episode step, the
+            # number analyze_longrun reports as "best"
+            best_step_error = min(best_step_error, infos[i]["error"])
             if dones[i]:
                 ep_bufs.flush(i, episodes_done, venv.envs[i], saver)
                 episodes_done += 1
@@ -236,12 +242,15 @@ def train_vectorized(venv: VectorCircuitEnv, agent, conf: dict, seed: int,
         if verbose and it % 20 == 0:
             sps = steps / (time.time() - t0)
             print(f"iter {it}: {steps} env-steps, {episodes_done} episodes, "
-                  f"best err {best_error:.3e}, eps {agent.epsilon:.2f}, "
+                  f"best err {best_error:.3e} "
+                  f"(step {best_step_error:.3e}), "
+                  f"eps {agent.epsilon:.2f}, "
                   f"{sps:.1f} steps/s", flush=True)
         saver.save_jsonl_event({"iter": it, "steps": steps,
                                 "episodes": episodes_done,
                                 "successes": successes,
-                                "best_error": float(best_error)})
+                                "best_error": float(best_error),
+                                "best_step_error": float(best_step_error)})
         if it % summary_save_every == 0:
             saver.save()
         if it % 500 == 0:
