@@ -278,10 +278,11 @@ class CircuitEnv:
         else:
             # v1 mega-kernel covers D <= 1024; the 2D-tiled v2/v3 extends
             # the fast path to D <= 65536 (n <= 16, ops/pallas_opt2d.py —
-            # W planes HBM-streamed past n = 12; at n = 16 the engine
-            # itself requires n_starts <= 4 and _pick_engine falls back
-            # when unmet).  Noise modes run in-kernel (v1/v2) or via the
-            # composed kernels (shot / n_traj > 1).
+            # W planes HBM-streamed past n = 12; at n = 16 both 4 and 8
+            # starts fit the VMEM budget, but 4 halves the per-env fused
+            # step (529 vs 1024 ms — the 16q configs set n_starts = 4).
+            # Noise modes run in-kernel (v1/v2) or via the composed
+            # kernels (shot / n_traj > 1).
             use_pallas = (jax.default_backend() not in ("cpu",)
                           and (1 << n) <= 65536)
         if cfg.mesh_shape:
