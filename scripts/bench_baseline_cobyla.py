@@ -50,6 +50,8 @@ SIZES = {
     8: ("TensorRL_fixed/", "H2O8q_TNbond2.cfg"),
     10: ("TensorRL_fixed/", "H2O10q_TNbond2.cfg"),
     12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg"),
+    14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg"),
+    16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg"),
 }
 
 
