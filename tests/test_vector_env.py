@@ -179,3 +179,53 @@ def test_train_vectorized_writes_summary_npy(tmp_path):
     assert len(rec["actions"]) == len(rec["errors"]) > 0
     assert (tmp_path / "events_0.jsonl").exists()
     assert (tmp_path / "vec_0_agent.msgpack").exists()
+
+
+def test_train_vectorized_early_stop_and_eps_rescale(tmp_path):
+    """The early-stop criteria and the per-env-step epsilon rescale gate
+    every multi-seed RESULTS row — pin both behaviors.
+
+    With ``stop_at_error`` set above any reachable error and
+    ``stop_min_successes=0``, the loop must end at the first completed
+    episode rather than exhausting the step budget; ``eps_per_step`` must
+    rescale ``epsilon_decay`` to ``decay ** (B / replays_per_iter)``; and
+    the events stream must carry the intra-episode ``best_step_error``
+    alongside the episode-final ``best_error``."""
+    import json as _json
+
+    from tensorrl_qas_tpu.agents.dqn import make_agent
+    from tensorrl_qas_tpu.train.vector_driver import train_vectorized
+
+    conf = {
+        "general": {"episodes": 2},
+        "agent": {"batch_size": 8, "memory_size": 128, "neurons": [32],
+                  "dropout": 0.0, "learning_rate": 1e-3, "angles": 0,
+                  "en_state": 1, "agent_type": "DeepQ",
+                  "agent_class": "DQN", "init_net": 0,
+                  "priotitized_replay": 0, "update_target_net": 10,
+                  "final_gamma": 0.05, "epsilon_decay": 0.99,
+                  "epsilon_min": 0.05, "epsilon_restart": 1.0},
+        "env": {"num_qubits": 5, "num_layers": 40, "accept_err": 1e-3},
+    }
+    n_envs = 3
+    venv = VectorCircuitEnv(make_cfg(), n_envs=n_envs)
+    agent = make_agent(conf, venv.action_size, venv.state_size, seed=0)
+    budget = 10 * (venv.envs[0].num_layers_termination + 2)
+    summary = train_vectorized(venv, agent, conf, seed=0,
+                               output_path=str(tmp_path),
+                               total_env_steps=budget, verbose=False,
+                               stop_at_error=1e6, stop_min_successes=0)
+    # stopped at the first iteration with a finished episode, not the budget
+    assert summary["episodes"] >= 1
+    assert summary["steps"] < budget
+    # epsilon_decay rescaled for B env-steps per replay (default
+    # eps_per_step=True, replays_per_iter=1)
+    assert agent.epsilon_decay == pytest.approx(0.99 ** n_envs)
+    events = [_json.loads(line)
+              for line in (tmp_path / "events_0.jsonl").read_text()
+              .splitlines()]
+    assert events, "events stream empty"
+    last = events[-1]
+    assert "best_step_error" in last and "best_error" in last
+    # the intra-episode best can only be <= the episode-final best
+    assert last["best_step_error"] <= last["best_error"]
