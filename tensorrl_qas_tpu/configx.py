@@ -10,13 +10,44 @@ import os
 
 import jax
 
+
+def _configured_platform() -> str | None:
+    """Primary platform from env/config WITHOUT initializing a backend.
+
+    Two reasons not to call ``jax.default_backend()`` here: (1) this runs
+    at package-import time, and creating a remote-TPU PJRT client then
+    means every ``import tensorrl_qas_tpu`` pays (or, with a dead tunnel,
+    hangs on) a network round-trip; (2) an ambient platform plugin may
+    have overridden ``jax_platforms`` at interpreter startup, so the
+    user's ``JAX_PLATFORMS`` env choice must be re-applied *before* the
+    first backend lookup or it is silently ignored (the root conftest and
+    ``utils.compcache.apply_platform_env`` do the same, but only for
+    callers that go through them).
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001 — unknown platform string
+            pass
+    else:
+        plat = getattr(jax.config, "jax_platforms", None)
+    if plat:
+        return plat.split(",")[0].strip().lower()
+    return None
+
+
 # x64 on CPU only: the TPU path runs f32/c64 (f64 is unsupported or emulated
 # on TPU backends, and stray float64 host constants would otherwise fail to
 # lower).  TRLQAS_FORCE_X64=1 / TRLQAS_NO_X64=1 override in either direction.
 if os.environ.get("TRLQAS_FORCE_X64"):
     jax.config.update("jax_enable_x64", True)
-elif not os.environ.get("TRLQAS_NO_X64") and jax.default_backend() == "cpu":
-    jax.config.update("jax_enable_x64", True)
+elif not os.environ.get("TRLQAS_NO_X64"):
+    _plat = _configured_platform()
+    # only fall back to initializing the default backend when no platform
+    # is configured anywhere (plain-CPU jax installs autodetect here)
+    if (_plat or jax.default_backend()) == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
 
 def default_complex_dtype():
