@@ -143,7 +143,34 @@ def bench_size(n_qubits: int, noisy: bool = False):
     return steps_per_sec, baseline
 
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """True if the configured JAX backend initializes within timeout.
+
+    The remote-TPU tunnel can hang (not fail) at PJRT client creation,
+    which would hang this whole benchmark with no output.  Probe in a
+    subprocess so a wedged client can be abandoned, and fall back to an
+    explicitly-labeled CPU run rather than recording nothing.
+    """
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _probe_backend():
+        print("# backend probe failed/hung — TPU tunnel unreachable; "
+              "falling back to CPU (numbers NOT comparable to TPU rows)",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     from tensorrl_qas_tpu.utils.compcache import (
         apply_platform_env,
         enable_compilation_cache,
@@ -195,11 +222,14 @@ def main() -> int:
     # the 8q headline baseline stays the PUBLISHED qulacs-CPU number
     # (41 steps / 27 s, image/result3.png) — the strongest, least
     # gameable anchor; the measured host row is reported alongside.
+    import jax
+
     out = {
         "metric": "env_steps_per_sec_8q_h2o",
         "value": round(sps8, 3),
         "unit": "steps/s/chip",
         "vs_baseline": round(sps8 / base8, 2),
+        "backend": jax.default_backend(),
         "extra_sizes": extra,
     }
     if 8 in measured:
