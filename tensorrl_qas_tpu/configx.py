@@ -24,17 +24,22 @@ def _configured_platform() -> str | None:
     ``utils.compcache.apply_platform_env`` do the same, but only for
     callers that go through them).
     """
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
+    cfg_plat = getattr(jax.config, "jax_platforms", None) or ""
+    env_plat = os.environ.get("JAX_PLATFORMS") or ""
+    primary = cfg_plat.split(",")[0].strip().lower()
+    # Re-apply the env var ONLY over a plugin-forced default ("axon" is
+    # this image's remote-TPU plugin; plain jax honors the env var itself
+    # so cfg already matches env).  A caller's explicit pre-import
+    # ``jax.config.update("jax_platforms", ...)`` must win over the env —
+    # e.g. scripts/generate_data.py pins cpu while the ambient env says
+    # axon; stomping that would re-introduce the remote client here.
+    if env_plat and env_plat != cfg_plat and primary in ("", "axon"):
         try:
-            jax.config.update("jax_platforms", plat)
+            jax.config.update("jax_platforms", env_plat)
+            primary = env_plat.split(",")[0].strip().lower()
         except Exception:  # noqa: BLE001 — unknown platform string
             pass
-    else:
-        plat = getattr(jax.config, "jax_platforms", None)
-    if plat:
-        return plat.split(",")[0].strip().lower()
-    return None
+    return primary or None
 
 
 # x64 on CPU only: the TPU path runs f32/c64 (f64 is unsupported or emulated

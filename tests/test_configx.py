@@ -51,6 +51,22 @@ def test_no_x64_optout_respected():
     assert r.stdout.split()[-1] == "False", r.stdout
 
 
+def test_explicit_config_beats_env():
+    """A caller's pre-import ``jax.config.update('jax_platforms', ...)``
+    must survive package import even when the ambient env var says
+    otherwise (scripts like generate_data.py pin cpu this way); only a
+    plugin-forced default is overridable by JAX_PLATFORMS."""
+    r = _run(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import os; os.environ['JAX_PLATFORMS'] = 'axon'\n"
+        "import tensorrl_qas_tpu\n"
+        "print(jax.config.jax_platforms, jax.config.jax_enable_x64)\n",
+        {"JAX_PLATFORMS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.split()[-2:] == ["cpu", "True"], r.stdout
+
+
 def test_import_does_not_initialize_backends():
     """Importing the package must not create any PJRT client — backend
     init is deferred to first real computation regardless of platform."""
