@@ -59,6 +59,8 @@ ROWS = {
          BASE_8Q / 64),
     16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg", 16, 0.25,
          BASE_8Q / 256),
+    18: ("TensorRL_fixed/", "heisenberg_18q_TNbond2.cfg", 8, 0.25,
+         BASE_8Q / 1024),
 }
 
 

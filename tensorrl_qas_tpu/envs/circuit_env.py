@@ -277,14 +277,17 @@ class CircuitEnv:
             use_pallas = False
         else:
             # v1 mega-kernel covers D <= 1024; the 2D-tiled v2/v3 extends
-            # the fast path to D <= 65536 (n <= 16, ops/pallas_opt2d.py —
+            # the fast path to D <= 262144 (n <= 18, ops/pallas_opt2d.py —
             # W planes HBM-streamed past n = 12; at n = 16 both 4 and 8
             # starts fit the VMEM budget, but 4 halves the per-env fused
-            # step (529 vs 1024 ms — the 16q configs set n_starts = 4).
-            # Noise modes run in-kernel (v1/v2) or via the composed
-            # kernels (shot / n_traj > 1).
+            # step (529 vs 1024 ms — the 16q configs set n_starts = 4;
+            # n = 17 needs n_starts <= 8 and n = 18 needs <= 4, enforced
+            # by the optimizer's budget arithmetic with a composed-kernel
+            # fallback).  Noise modes run in-kernel (v1/v2) or via the
+            # composed kernels (shot / n_traj > 1).
+            from tensorrl_qas_tpu.ops.pallas_opt2d import MAX_DIM_2D
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and (1 << n) <= 65536)
+                          and (1 << n) <= MAX_DIM_2D)
         if cfg.mesh_shape:
             # amplitude-sharded scale-out path over an (amp, dp) mesh;
             # depolarizing trajectories ride it as tape extensions

@@ -32,7 +32,7 @@ Everything else (multi-start Adam with best-iterate tracking, angle remap
 onto the post-action tape, post-action energy) matches v1 semantics;
 tests/test_pallas_opt2d.py checks numerical agreement with the XLA path.
 
-v3 extension (13 <= n <= 16, round 3): two scalability walls removed so
+v3 extension (13 <= n <= 18, round 3): two scalability walls removed so
 the same kernel covers the reference's single-box mid-band
 (``README.md:29``):
 
@@ -46,7 +46,12 @@ the same kernel covers the reference's single-box mid-band
 VMEM then holds only ~8 live (S*R, 128) f32 state planes (forward state,
 backward state + cotangent, H psi scratch, psi0 tiles), so n = 16 fits
 with n_starts <= 4 and n = 15 with 8; ``AngleOptimizer._mega2d_ready``
-does the budget arithmetic.
+does the budget arithmetic.  The same accounting extends the band to
+n = 18 (n = 17 with n_starts <= 8, n = 18 with <= 4): every size-derived
+structure (roll distances, row-bit selects, start tiling, streamed-W
+buffers) is generic in R, and the XOR-partner rolls never cross start
+blocks (subtracting/adding 2^k from a row index whose bit k is set/clear
+cannot borrow into the start-id bits).
 
 Round-3 dispatch: per-gate work is class-specialized (apply_gate_fast2d /
 bwd_gate_fast2d, twins of ops/pallas_apply.py's v1 versions) — the serial
@@ -87,7 +92,12 @@ from tensorrl_qas_tpu.ops.pallas_opt import MAX_ENV_PER_CALL, _chunk_env_calls
 _C = 128          # lane width (fixed by hardware)
 _LOG_C = 7
 
-MAX_DIM_2D = 65536    # n <= 16: streamed W planes; VMEM holds state only
+MAX_DIM_2D = 262144   # n <= 18: streamed W planes; VMEM holds state only
+                      # (v3+ round 3: the roll/select machinery and the
+                      # launch path are R-generic; the binding constraint
+                      # is the ~8 live (S*R, 128) f32 state planes vs
+                      # VMEM_BUDGET, so n = 17 runs with n_starts <= 8
+                      # and n = 18 with n_starts <= 4)
 MIN_DIM_2D = 128      # n >= 7: need at least one full lane row
 VMEM_BUDGET = 48 * 2**20   # working-set ceiling used for engine selection
                            # (v5e scoped VMEM raised via vmem_limit_bytes;
@@ -672,7 +682,7 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                              iters: int, lr: float, interpret: bool = False,
                              noise=None, seeds=None, stream_w: bool = False,
                              max_env_per_call: int | None = None):
-    """One launch per env step, 2D-tiled layout (7 <= n <= 16).
+    """One launch per env step, 2D-tiled layout (7 <= n <= 18).
 
     old/new_arrs: tuples of (E, G) int32; map_idx (E, R) int32;
     p0re/p0im (Rr, C) f32 planes of psi0; wre/wim (G, Rr, C) flip-group
@@ -681,7 +691,7 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
 
     ``noise=(p1, p2)`` + ``seeds`` (E, 2) int32 compiles the in-kernel
     depolarizing-trajectory variant.  ``stream_w=True`` keeps the W
-    planes in HBM and DMA-streams them per flip group (13 <= n <= 16 or
+    planes in HBM and DMA-streams them per flip group (13 <= n <= 18 or
     many-group molecular Hamiltonians; see module docstring).  Batches
     larger than ``pallas_opt.MAX_ENV_PER_CALL`` are split into
     independent launches (per-env tapes live in SMEM scalar prefetch,

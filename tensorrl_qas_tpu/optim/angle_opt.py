@@ -168,7 +168,7 @@ class AngleOptimizer:
         self.noise_resample = "iter"
         self.pallas_interpret = False   # tests set True to run on CPU
         # mega-kernel engine: 'auto' = v1 dense-H for D<=1024, v2 2D-tiled
-        # for 1024 < D <= 65536 (n <= 16; W planes HBM-streamed above
+        # for 1024 < D <= 262144 (n <= 18; W planes HBM-streamed above
         # W_RESIDENT_MAX); 'v1'/'v2' force one (v2 needs D >= 128)
         self.pallas_engine = "auto"
         self._w2d = None
@@ -219,7 +219,9 @@ class AngleOptimizer:
 
     def _mega2d_ready(self) -> bool:
         """Prepare flip-grouped Pauli planes for the 2D-tiled mega-kernel
-        (ops/pallas_opt2d.py); usable for 128 <= D <= 65536 (n <= 16).
+        (ops/pallas_opt2d.py); usable for 128 <= D <= 262144 (n <= 18,
+        VMEM budget permitting — n = 17 needs n_starts <= 8, n = 18
+        needs <= 4).
 
         Decides W-plane placement: VMEM-resident below W_RESIDENT_MAX,
         HBM-streamed above; rejects configurations whose live state

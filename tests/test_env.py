@@ -163,14 +163,15 @@ def test_hexagon_restricted_env():
 
 def test_pallas_auto_gate_covers_v3_sizes(monkeypatch):
     """The use_pallas='auto' gate must keep the fast path on through the
-    v3 kernel ceiling (n <= 16) on TPU backends; round-3 regression — the
+    v3+ kernel ceiling (n <= 18) on TPU backends; round-3 regression — the
     stale D <= 4096 cap silently dropped 13-16q benches to the XLA path."""
     import jax as _jax
 
     import tensorrl_qas_tpu.envs.circuit_env as ce
 
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
-    for n, expect in [(10, True), (14, True), (16, True), (20, False)]:
+    for n, expect in [(10, True), (14, True), (16, True), (18, True),
+                      (20, False)]:
         cfg = EnvConfig(
             num_qubits=n, num_layers=10, ham_type="heisenberg",
             tn_placement="fixed", tn_init=0, tn_bond=2,

@@ -164,13 +164,37 @@ def test_v3_beyond_v2_ceiling_n13():
     assert e2 == pytest.approx(e_ref, abs=1e-4)
 
 
+def test_v3plus_beyond_v3_ceiling_n17():
+    """n=17 (D=131072) exceeds the round-3 v3 cap (MAX_DIM_2D was 65536);
+    the extended kernel must agree with the XLA energy."""
+    n = 17
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 10, seed=9, iters=0,
+                                              n_starts=1, engine="v2")
+    assert opt._mega2d_ready()
+    assert opt._w2d_stream  # D > 32768 always streams its W planes
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    jarrs = tuple(map(jnp.asarray, arrs))
+    x2, e2, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                               map_idx, jax.random.PRNGKey(1))
+    opt_ref = AngleOptimizer(ps.device_arrays(jnp.complex64),
+                             dtype=jnp.complex64)
+    e_ref = opt_ref.energy(psi0_ri, jarrs, x0)
+    assert e2 == pytest.approx(e_ref, abs=1e-4)
+
+
 def test_v3_budget_selection():
     """Engine selection does the VMEM arithmetic: n=14 heisenberg is
     v2-resident; n=16 streams its W planes (hardware-calibrated: n=16
-    compiles and runs at S=8 with the raised scoped-VMEM limit)."""
+    compiles and runs at S=8 with the raised scoped-VMEM limit); the
+    v3+ band accepts n=17 at S<=8 and n=18 at S<=4, falling back to
+    the composed kernels above the state-plane budget."""
     for n, n_starts, want, want_stream in [(14, 8, "v2", False),
                                            (16, 8, "v2", True),
-                                           (16, 4, "v2", True)]:
+                                           (16, 4, "v2", True),
+                                           (17, 8, "v2", True),
+                                           (17, 16, "composed", None),
+                                           (18, 4, "v2", True),
+                                           (18, 8, "composed", None)]:
         paulis, weights = heisenberg_hamiltonian(n)
         ps = PauliSum.from_strings(paulis, weights, n)
         opt = AngleOptimizer(ps.device_arrays(jnp.complex64),
