@@ -18,6 +18,9 @@ sys.path.insert(0, str(_ROOT / "tests"))
 if __name__ == "__main__":
     import jax
 
+    from tensorrl_qas_tpu.utils.compcache import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS before backend lookup
     if jax.default_backend() == "cpu":
         print("ERROR: no TPU backend available", file=sys.stderr)
         sys.exit(1)
