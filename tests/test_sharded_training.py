@@ -105,6 +105,30 @@ def test_env_steps_at_16_qubits_on_mesh():
         "warm start should beat the zero state"
 
 
+def test_env_steps_on_degenerate_single_device_mesh():
+    """mesh_shape=(1, 1) runs the identical sharded program on ONE
+    device — the path that lets a single real chip cover 19-20 qubits
+    (scripts/demo_20q_training.py --mesh 1,1) without the mega-kernel.
+    Pin construction + a real training step so the degenerate-mesh case
+    (no amp peers to ppermute with, dp axis of 1) cannot rot."""
+    cfg = EnvConfig(
+        num_qubits=10, num_layers=40, ham_type="heisenberg",
+        tn_placement="fixed", tn_init=1, tn_bond=2, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=2, n_starts=2,
+        sim_dtype="complex64", mesh_shape=(1, 1), seed=0)
+    env = CircuitEnv(cfg)
+    assert env.mesh is not None and env.mesh.devices.size == 1
+    env.reset()
+    assert np.isfinite(env.prev_energy)
+    ill = set(env.illegal_action_new())
+    legal = [k for k in env.action_dict if k not in ill]
+    env.step(env.action_dict[legal[0]])
+    assert np.isfinite(env.energy)
+    assert env.nfev > 0
+
+
 @pytest.mark.skipif(not _have_data(20),
                     reason="run scripts/generate_data.py --ham heisenberg "
                            "--qubits 20 first")
