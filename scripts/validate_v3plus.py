@@ -53,6 +53,7 @@ if __name__ == "__main__":
     for n in (int(s) for s in args.sizes.split(",")):
         rows += [(n, 4)] if n >= 18 else [(n, 4), (n, 8)]
 
+    failed = False
     for n, s in rows:
         paulis, weights = heisenberg_hamiltonian(n)
         ps = PauliSum.from_strings(paulis, weights, n)
@@ -78,9 +79,11 @@ if __name__ == "__main__":
                                  dtype=jnp.complex64)
         e_ref = float(opt_ref.energy(psi0_ri, arrs, x0))
         de = abs(float(e_kern) - e_ref)
-        status = "OK" if de < 1e-3 * max(1.0, abs(e_ref)) else "MISMATCH"
+        ok = de < 1e-3 * max(1.0, abs(e_ref))
+        failed |= not ok
         print(f"n={n}: forward energy kernel={float(e_kern):+.6f} "
-              f"xla={e_ref:+.6f} |d|={de:.2e} {status}", flush=True)
+              f"xla={e_ref:+.6f} |d|={de:.2e} "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
 
         # 2) cold compile + steady-state fused step at (iters, S)
         opt = AngleOptimizer(ps.device_arrays(jnp.complex64),
@@ -105,3 +108,9 @@ if __name__ == "__main__":
               f"{per_step * 1e3:.0f} ms/fused-step, "
               f"E={float(e1):+.6f} (descended from {e_ref:+.6f})",
               flush=True)
+
+    if failed:
+        print("VALIDATION FAILED: kernel/XLA energy mismatch above",
+              file=sys.stderr)
+        sys.exit(1)
+    print("all sizes validated OK", flush=True)

@@ -42,13 +42,18 @@ def _configured_platform() -> str | None:
     return primary or None
 
 
+# The platform resolution must run unconditionally at import — it is what
+# makes JAX_PLATFORMS=cpu effective over a plugin-forced default for every
+# consumer, not just the x64 decision below (skipping it under the x64
+# opt-out knobs would silently leave imports on the remote platform).
+_plat = _configured_platform()
+
 # x64 on CPU only: the TPU path runs f32/c64 (f64 is unsupported or emulated
 # on TPU backends, and stray float64 host constants would otherwise fail to
 # lower).  TRLQAS_FORCE_X64=1 / TRLQAS_NO_X64=1 override in either direction.
 if os.environ.get("TRLQAS_FORCE_X64"):
     jax.config.update("jax_enable_x64", True)
 elif not os.environ.get("TRLQAS_NO_X64"):
-    _plat = _configured_platform()
     # only fall back to initializing the default backend when no platform
     # is configured anywhere (plain-CPU jax installs autodetect here)
     if (_plat or jax.default_backend()) == "cpu":

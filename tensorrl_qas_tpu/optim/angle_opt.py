@@ -629,10 +629,15 @@ class AngleOptimizer:
                     noise=kernel_noise, seeds=kernel_seeds,
                     stream_w=getattr(self, "_w2d_stream", False))
         elif self.use_pallas and (self.pallas_interpret
-                                  or psi0[0].shape[-1] >= 128):
+                                  or 128 <= psi0[0].shape[-1] <= 65536):
             # composed kernels need the 128-lane minimum on real hardware
             # (pltpu.roll rejects unaligned shapes); interpret mode (CPU
-            # tests) has no such floor
+            # tests) has no such floor.  The upper bound is the composed
+            # path's hardware-validated ceiling: the v3+ band (n = 17/18)
+            # is only validated through the v2 mega-kernel, so
+            # configurations it rejects (shot noise, n_traj > 1, starts
+            # above the VMEM budget) drop to the XLA path instead of an
+            # unvalidated full-state composed launch
             x_opt, e_new = self._fused_pallas_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
                 tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),

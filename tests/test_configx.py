@@ -51,6 +51,21 @@ def test_no_x64_optout_respected():
     assert r.stdout.split()[-1] == "False", r.stdout
 
 
+@pytest.mark.parametrize("knobs", [{"TRLQAS_NO_X64": "1"},
+                                   {"TRLQAS_FORCE_X64": "1"}])
+def test_platform_override_independent_of_x64_knobs(knobs):
+    """The JAX_PLATFORMS re-application must run regardless of the x64
+    opt-in/out knobs — it used to live inside the x64 decision branch and
+    was silently skipped under TRLQAS_NO_X64/TRLQAS_FORCE_X64, leaving
+    those imports on the plugin-forced remote platform."""
+    r = _run(
+        "import jax, tensorrl_qas_tpu\n"
+        "print(jax.default_backend())\n",
+        {"JAX_PLATFORMS": "cpu", **knobs})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.split()[-1] == "cpu", r.stdout
+
+
 def test_explicit_config_beats_env():
     """A caller's pre-import ``jax.config.update('jax_platforms', ...)``
     must survive package import even when the ambient env var says
