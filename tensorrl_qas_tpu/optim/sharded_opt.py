@@ -210,6 +210,30 @@ class ShardedAngleOptimizer:
             key)
         return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
 
+    def fused_step_batch(self, psi0, old_arrs_b, x0_b, n_active_b,
+                         new_arrs_b, map_idx_b, keys):
+        """AngleOptimizer.fused_step_batch signature, so VectorCircuitEnv
+        works on the sharded path.
+
+        Envs run sequentially: each env carries its own tape, and a
+        gate's implementation on the amp-sharded statevector depends on
+        which qubit it hits (local rotation vs ppermute exchange), so
+        heterogeneous tapes cannot share one sharded program the way the
+        single-chip mega-kernel batches envs on its grid.  Each per-env
+        call already saturates the mesh (dp carries the n_starts batch);
+        the vectorized trainer still amortizes its host-side act/replay
+        work across the B replicas.
+        """
+        xs, es = [], []
+        for i in range(x0_b.shape[0]):
+            x_opt, e_new, _ = self.fused_step(
+                psi0, tuple(a[i] for a in old_arrs_b), x0_b[i],
+                int(n_active_b[i]), tuple(a[i] for a in new_arrs_b),
+                map_idx_b[i], keys[i])
+            xs.append(x_opt)
+            es.append(e_new)
+        return np.stack(xs), np.asarray(es), self.iters * self.n_starts
+
     # -- single energy ----------------------------------------------------------
 
     def _energy_one(self, psi0_b, arrs, x, key):

@@ -129,6 +129,34 @@ def test_env_steps_on_degenerate_single_device_mesh():
     assert env.nfev > 0
 
 
+def test_vector_env_on_sharded_path():
+    """VectorCircuitEnv must work when the underlying envs run
+    ShardedAngleOptimizer (fused_step_batch exists on both optimizers):
+    the scale-out sizes get the vectorized trainer's host-side batching
+    even though per-env tapes run as sequential mesh calls."""
+    from tensorrl_qas_tpu.envs.vector_env import VectorCircuitEnv
+
+    cfg = EnvConfig(
+        num_qubits=10, num_layers=40, ham_type="heisenberg",
+        tn_placement="fixed", tn_init=1, tn_bond=2, accept_err=1e-3,
+        curriculum_conf={"thresholds": [1e-3], "switch_episodes": [100000],
+                         "accept_err": 1e-3},
+        optim_alg="adam", global_iters=2, n_starts=2,
+        sim_dtype="complex64", mesh_shape=(2, 2), seed=0)
+    venv = VectorCircuitEnv(cfg, n_envs=2)
+    assert venv.envs[0].mesh is not None
+    venv.reset_all()
+    rng = np.random.default_rng(0)
+    acts = []
+    for env in venv.envs:
+        ill = set(env.illegal_action_new())
+        legal = [k for k in env.action_dict if k not in ill]
+        acts.append(env.action_dict[int(rng.choice(legal))])
+    obs, rewards, dones, infos = venv.step_all(acts)
+    assert obs.shape[0] == 2
+    assert all(np.isfinite(i["energy"]) for i in infos)
+
+
 @pytest.mark.skipif(not _have_data(20),
                     reason="run scripts/generate_data.py --ham heisenberg "
                            "--qubits 20 first")
