@@ -16,13 +16,25 @@ import os
 
 
 def apply_platform_env() -> None:
-    """Make ``JAX_PLATFORMS`` authoritative.
+    """Make ``JAX_PLATFORMS`` authoritative (entry-point semantics).
 
     The ambient environment may pre-register a TPU platform plugin that
     forces ``jax_platforms`` regardless of the env var (see root
     conftest.py); re-apply the user's choice after import so
     ``JAX_PLATFORMS=cpu python -m tensorrl_qas_tpu.train.cli ...`` really
     runs on host CPU.
+
+    Precedence contract (three related mechanisms, by design):
+      - ``configx._configured_platform`` runs at package import and is
+        the conservative layer: env var beats a *plugin-forced* default
+        but never an explicit in-process ``jax.config.update``.
+      - THIS helper is for process entry points (cli, bench, scripts)
+        where the env var is the user's expressed intent for the whole
+        process: it stomps whatever is configured, unconditionally.
+      - The test conftest pins cpu before any package import.
+    Call this only from ``__main__``-level code, never from library
+    modules — a library import must not override a host application's
+    platform choice.
     """
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
