@@ -52,6 +52,8 @@ SIZES = {
     12: ("TensorRL_fixed/", "LIH12q_TNbond2.cfg"),
     14: ("TensorRL_fixed/", "heisenberg_14q_TNbond2.cfg"),
     16: ("TensorRL_fixed/", "heisenberg_16q_TNbond2.cfg"),
+    18: ("TensorRL_fixed/", "heisenberg_18q_TNbond2.cfg"),
+    20: ("TensorRL_fixed/", "heisenberg_20q_TNbond2.cfg"),
 }
 
 

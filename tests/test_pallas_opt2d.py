@@ -164,10 +164,10 @@ def test_v3_beyond_v2_ceiling_n13():
     assert e2 == pytest.approx(e_ref, abs=1e-4)
 
 
-def test_v3plus_beyond_v3_ceiling_n17():
-    """n=17 (D=131072) exceeds the round-3 v3 cap (MAX_DIM_2D was 65536);
-    the extended kernel must agree with the XLA energy."""
-    n = 17
+@pytest.mark.parametrize("n", [17, 18])
+def test_v3plus_beyond_v3_ceiling(n):
+    """n=17/18 (D=131072/262144) exceed the round-3 v3 cap (MAX_DIM_2D
+    was 65536); the extended kernel must agree with the XLA energy."""
     ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 10, seed=9, iters=0,
                                               n_starts=1, engine="v2")
     assert opt._mega2d_ready()
