@@ -94,9 +94,18 @@ def test_import_does_not_initialize_backends():
     assert "inited False" in r.stdout, r.stdout
 
 
-@pytest.mark.skipif(os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"),
-                    reason="ambient non-cpu platform plugin present; the "
-                           "no-env branch would initialize it for real")
+# The ambient plugin is injected by sitecustomize, NOT by JAX_PLATFORMS —
+# autodetect in the subprocess would initialize the remote TPU client for
+# real (chip contention when healthy, an indefinite hang when the tunnel
+# is down).  Detect the plugin by its registration markers.
+_AMBIENT_PLUGIN = any(os.environ.get(k) for k in (
+    "_AXON_REGISTERED", "PJRT_LIBRARY_PATH", "TPU_LIBRARY_PATH"))
+
+
+@pytest.mark.skipif(
+    _AMBIENT_PLUGIN or os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"),
+    reason="ambient non-cpu platform plugin present; the "
+           "no-env branch would initialize it for real")
 def test_unset_env_falls_back_to_autodetect():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
