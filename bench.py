@@ -50,6 +50,20 @@ GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
 SIZES = os.environ.get("BENCH_SIZES", "8,10,12,14")
 NOISY = int(os.environ.get("BENCH_NOISY", "1"))  # add a noisy 8q row
+# Whole-bench wall budget (seconds).  When it runs out, remaining rows are
+# skipped and whatever completed is emitted — a partial JSON beats the
+# rc=124 nothing that round 3 recorded.  The driver's timeout is unknown;
+# 40 min covers the measured full TPU protocol (~25-30 min) with margin.
+WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET", "2400"))
+_T_START = time.time()
+
+
+def _remaining() -> float:
+    return WALL_BUDGET - (time.time() - _T_START)
+
+
+class _BudgetExceeded(RuntimeError):
+    pass
 
 BASE_8Q = 41.0 / 27.0      # qulacs-CPU env-steps/sec at 8q (published)
 
@@ -130,6 +144,8 @@ def bench_size(n_qubits: int, noisy: bool = False):
     # warmup: compile the batched fused step / act / replay + fill buffer
     t0 = time.time()
     while len(agent.memory) <= batch_size + venv.n_envs:
+        if _remaining() < 30:
+            raise _BudgetExceeded(f"{n_qubits}q warmup out of wall budget")
         run_iters(16, with_replay=False)
     run_iters(2, with_replay=True)
     warmup_s = time.time() - t0
@@ -139,6 +155,10 @@ def bench_size(n_qubits: int, noisy: bool = False):
     n_reps = repeats_for(n_qubits)
     reps = []
     for r in range(n_reps):
+        if reps and _remaining() < 1.5 * (time.time() - t0):
+            print(f"#   {tag}: stopping after {r} repeats (wall budget)",
+                  file=sys.stderr)
+            break
         t0 = time.time()
         n_steps = run_iters(timed, with_replay=True)
         dt = time.time() - t0
@@ -179,11 +199,29 @@ def _probe_backend(timeout_s: int = 240) -> bool:
 
 
 def main() -> int:
+    global TIMED_ITERS, GLOBAL_ITERS, FILL_TARGET, _REPEATS_ENV, NOISY
+    degraded = False
     if not _probe_backend():
+        # Degraded protocol (VERDICT r3): the full protocol at sizes
+        # 8-14 with a 1000-transition buffer fill cannot finish on a
+        # 2-core host (measured host baseline: 0.22 steps/s at 14q).
+        # Record a small, labeled CPU artifact instead of an rc=124.
         print("# backend probe failed/hung — TPU tunnel unreachable; "
-              "falling back to CPU (numbers NOT comparable to TPU rows)",
+              "falling back to a DEGRADED CPU protocol (8q only, reduced "
+              "fill/iters; numbers NOT comparable to TPU rows)",
               file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        degraded = True
+        sizes = [8]
+        NOISY = 0
+        TIMED_ITERS = min(TIMED_ITERS, 8)
+        GLOBAL_ITERS = min(GLOBAL_ITERS, 50)
+        if FILL_TARGET is None:
+            FILL_TARGET = "64"   # buffer fill target (= batch_size)
+        if _REPEATS_ENV is None:
+            _REPEATS_ENV = "1"
+    else:
+        sizes = [int(s) for s in SIZES.split(",") if s.strip()]
 
     from tensorrl_qas_tpu.utils.compcache import (
         apply_platform_env,
@@ -192,15 +230,17 @@ def main() -> int:
 
     apply_platform_env()
     enable_compilation_cache()
-    sizes = [int(s) for s in SIZES.split(",") if s.strip()]
     results = {}
     for n in sizes:
         try:
             results[n] = bench_size(n)
+        except _BudgetExceeded as exc:
+            print(f"# {exc} — skipping remaining sizes", file=sys.stderr)
+            break
         except Exception as exc:  # noqa: BLE001
             print(f"# {n}q bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
-    if NOISY:
+    if NOISY and _remaining() > 120:
         try:
             results["8q_depol"] = bench_size(8, noisy=True)
         except Exception as exc:  # noqa: BLE001
@@ -239,6 +279,8 @@ def main() -> int:
     # gameable anchor; the measured host row is reported alongside.
     import jax
 
+    import platform as _platform
+
     out = {
         "metric": "env_steps_per_sec_8q_h2o",
         "value": round(sps8, 3),
@@ -247,7 +289,13 @@ def main() -> int:
         "median_value": round(med8, 3),
         "backend": jax.default_backend(),
         "extra_sizes": extra,
+        "host": _platform.node(),
+        "wall_s": round(time.time() - _T_START, 1),
     }
+    if degraded:
+        # CPU-vs-CPU comparison against the published qulacs-CPU number;
+        # the TPU headline ratio cannot be measured during an outage.
+        out["degraded_cpu_fallback"] = True
     if 8 in measured:
         out["vs_measured_host_baseline"] = round(sps8 / measured[8], 2)
     print(json.dumps(out), flush=True)

@@ -46,18 +46,60 @@ def apply_platform_env() -> None:
             pass
 
 
+def _host_fingerprint() -> str:
+    """Stable short fingerprint of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables; deserializing an entry
+    compiled on a host with different CPU features emits a wall of
+    ``cpu_aot_loader.cc`` errors and "could lead to SIGILL" warnings
+    (this poisoned the round-3 bench — BENCH_r03.json tail).  Keying the
+    cache directory by machine type + CPU flags keeps entries from
+    different hosts in different directories.
+    """
+    import hashlib
+    import platform as _platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(
+        (_platform.machine() + "|" + feats).encode()).hexdigest()[:10]
+    return digest
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Point JAX at an on-disk compilation cache directory.
 
+    The directory is keyed by the configured platform and a host CPU
+    fingerprint so entries never cross incompatible hosts/backends.
     Returns the cache dir actually configured, or None on failure.
-    Override location with ``TRLQAS_CACHE_DIR``; set it to ``off`` to
-    disable entirely.
+    Override location with ``TRLQAS_CACHE_DIR`` (used verbatim — no
+    keying); set it to ``off`` to disable entirely.
     """
     env = os.environ.get("TRLQAS_CACHE_DIR")
     if env == "off":
         return None
-    path = path or env or os.path.join(
-        os.path.expanduser("~"), ".cache", "trlqas_xla")
+    if path is None and env is None:
+        # platform label WITHOUT initializing the backend (a hung TPU
+        # tunnel must not be able to wedge cache setup)
+        plat = os.environ.get("JAX_PLATFORMS") or "auto"
+        try:
+            import jax
+
+            plat = jax.config.jax_platforms or plat
+        except Exception:  # noqa: BLE001
+            pass
+        plat = plat.split(",")[0].strip() or "auto"
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "trlqas_xla",
+            f"{plat}-{_host_fingerprint()}")
+    path = path or env
     try:
         import jax
 
