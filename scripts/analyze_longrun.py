@@ -32,7 +32,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
-from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
+from tensorrl_qas_tpu.circuits.qasm import load_circuit_tape
 from tensorrl_qas_tpu.circuits.tensor_ir import (
     SU4StateTensor,
     StateTensor,
@@ -150,7 +150,7 @@ def f64_error(actions, angles, conf, tn_placement, num_layers, action_dict,
         qasm = resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"), conf["problem"].get("mapping"))
-        wtape = load_qasm_tape(qasm)
+        wtape = load_circuit_tape(qasm)
         psi0 = apply_tape(zero_state(n, jnp.complex128),
                           *map(jnp.asarray, wtape.arrays()),
                           jnp.asarray(wtape.x0()))
@@ -176,7 +176,7 @@ def analyze(summary_path, conf, tn_placement, topology="all_to_all",
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
         # su4 runs embed the su4-basis warm start — one resolution rule
         # shared with CircuitEnv (problems/hamiltonians.py)
-        tn_tape = load_qasm_tape(resolve_warmstart_qasm(
+        tn_tape = load_circuit_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"), conf["problem"].get("mapping"),
             gate_set=gate_set, tn_placement=tn_placement))

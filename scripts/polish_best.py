@@ -28,7 +28,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from analyze_longrun import _rot_keys, circuit_stats  # noqa: E402
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary  # noqa: E402
-from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape  # noqa: E402
+from tensorrl_qas_tpu.circuits.qasm import load_circuit_tape  # noqa: E402
 from tensorrl_qas_tpu.problems.hamiltonians import (  # noqa: E402
     load_problem,
     resolve_warmstart_qasm,
@@ -82,7 +82,7 @@ def main() -> int:
 
     tn_tape = None
     if tn_placement == "in_state" and conf["env"].get("tn_init"):
-        tn_tape = load_qasm_tape(resolve_warmstart_qasm(
+        tn_tape = load_circuit_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"),
             conf["problem"].get("mapping"),
@@ -124,7 +124,7 @@ def main() -> int:
                         mapping=conf["problem"].get("mapping",
                                                     "jordan_wigner"))
     if tn_placement == "fixed" and conf["env"].get("tn_init"):
-        wtape = load_qasm_tape(resolve_warmstart_qasm(
+        wtape = load_circuit_tape(resolve_warmstart_qasm(
             conf["problem"]["ham_type"], n, conf["env"]["tn_bond"],
             conf["problem"].get("geometry"),
             conf["problem"].get("mapping"),

@@ -71,6 +71,20 @@ def load_qasm_tape(path: str, capacity: int | None = None,
     return tape_from_gate_list(n, gates, capacity, rot_capacity)
 
 
+def load_circuit_tape(path: str, capacity: int | None = None,
+                      rot_capacity: int | None = None) -> GateTape:
+    """Load a circuit tape from ``.qasm`` or ``.qpy`` (by extension).
+
+    The reference's envs ingest warm starts from qiskit's binary qpy
+    format (``environment_qulacs.py:75-82``); every shipped circuit has a
+    qasm twin, but a qpy-only artifact must work drop-in too."""
+    if path.endswith(".qpy"):
+        from tensorrl_qas_tpu.circuits.qpy_reader import load_qpy_tape
+
+        return load_qpy_tape(path, capacity, rot_capacity)
+    return load_qasm_tape(path, capacity, rot_capacity)
+
+
 _KIND_TO_QASM = {GateKind.RX: "rx", GateKind.RY: "ry", GateKind.RZ: "rz",
                  GateKind.X: "x", GateKind.Y: "y", GateKind.Z: "z",
                  GateKind.H: "h", GateKind.RXX: "rxx", GateKind.RYY: "ryy",

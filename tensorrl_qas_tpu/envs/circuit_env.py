@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorrl_qas_tpu.circuits.actions import action_dictionary
-from tensorrl_qas_tpu.circuits.qasm import load_qasm_tape
+from tensorrl_qas_tpu.circuits.qasm import load_circuit_tape
 from tensorrl_qas_tpu.circuits.tensor_ir import (
     StateTensor,
     SU4StateTensor,
@@ -196,7 +196,7 @@ class CircuitEnv:
             qasm_path = resolve_warmstart_qasm(
                 cfg.ham_type, n, cfg.tn_bond, cfg.geometry, cfg.mapping,
                 gate_set=cfg.gate_set, tn_placement=cfg.tn_placement)
-            self.tn_tape = load_qasm_tape(qasm_path)
+            self.tn_tape = load_circuit_tape(qasm_path)
             self.tn_depth = self.tn_tape.depth()
             if cfg.tn_placement == "fixed":
                 # compile once to a statevector; episodes start from it

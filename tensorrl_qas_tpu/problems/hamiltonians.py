@@ -246,19 +246,37 @@ def resolve_warmstart_qasm(ham_type: str, n_qubits: int, tn_bond: int,
     placement only compiles the warm start to a statevector, which is
     basis-independent, so the CNOT qasm is an acceptable fallback.
 
+    A missing ``.qasm`` falls back to its ``.qpy`` twin at every lookup
+    (the reference ingests qpy, ``environment_qulacs.py:75-82``; load the
+    result with ``circuits.qasm.load_circuit_tape``, which dispatches on
+    the extension).
+
     The single resolver for CircuitEnv, analyze_longrun and polish_best
     — the rule must not drift between training and analysis."""
     rel = warmstart_qasm_name(ham_type, n_qubits, tn_bond, geometry,
                               mapping)
     if gate_set != "su4":
-        return resolve_data_file(rel)
+        return _resolve_qasm_or_qpy(rel)
     su4_rel = rel.replace(".qasm", "_su4.qasm")
     try:
-        return resolve_data_file(su4_rel)
+        return _resolve_qasm_or_qpy(su4_rel)
     except FileNotFoundError:
         if tn_placement == "in_state":
             raise FileNotFoundError(
                 f"gate_set='su4' with tn_placement='in_state' requires "
                 f"an su4-basis warm start ({su4_rel}); generate one with "
                 f"scripts/generate_data.py --basis su4")
+        return _resolve_qasm_or_qpy(rel)
+
+
+def _resolve_qasm_or_qpy(rel: str) -> str:
+    try:
         return resolve_data_file(rel)
+    except FileNotFoundError:
+        try:
+            return resolve_data_file(rel[:-len(".qasm")] + ".qpy")
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{rel} (or its .qpy twin) not found under any of "
+                f"{DATA_SEARCH_PATHS}; set TRLQAS_DATA_DIR or run "
+                "scripts/generate_data.py") from None
