@@ -216,6 +216,9 @@ def main() -> int:
         NOISY = 0
         TIMED_ITERS = min(TIMED_ITERS, 8)
         GLOBAL_ITERS = min(GLOBAL_ITERS, 50)
+        # measured: n_envs=128 costs ~19 min on a 1-core host (703 s of
+        # warmup alone); 32 envs keeps the artifact to a few minutes
+        os.environ.setdefault("BENCH_N_ENVS", "32")
         if FILL_TARGET is None:
             FILL_TARGET = "64"   # buffer fill target (= batch_size)
         if _REPEATS_ENV is None:

@@ -327,12 +327,16 @@ class DQN:
     # -- checkpointing ------------------------------------------------------------
 
     def state_dict(self):
+        from tensorrl_qas_tpu.agents.replay import rng_state_json
+
         return {
             "params": jax.device_get(self.params),
             "target_params": jax.device_get(self.target_params),
             "opt_state": jax.device_get(self.opt_state),
             "epsilon": self.epsilon,
             "step_counter": self.step_counter,
+            # epsilon-greedy draw state, for exact resume
+            "rng_state": rng_state_json(self.rng),
         }
 
     def load_state_dict(self, d):
@@ -343,6 +347,10 @@ class DQN:
             is_leaf=lambda x: isinstance(x, np.ndarray))
         self.epsilon = float(d["epsilon"])
         self.step_counter = int(d["step_counter"])
+        if d.get("rng_state"):        # absent in pre-round-4 checkpoints
+            from tensorrl_qas_tpu.agents.replay import restore_rng
+
+            restore_rng(self.rng, d["rng_state"])
 
 
 class DQN_Nstep(DQN):

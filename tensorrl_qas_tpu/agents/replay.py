@@ -12,9 +12,43 @@ and n-step (reward folding at push time, ``agents/DeepQNstep.py:59-99``).
 
 from __future__ import annotations
 
+import json
 from collections import deque
 
 import numpy as np
+
+
+def rng_state_json(rng: np.random.Generator) -> str:
+    """Serialize a numpy Generator's exact bit state (json: the PCG64
+    state holds 128-bit ints, which msgpack/npz can't carry natively)."""
+    return json.dumps(rng.bit_generator.state)
+
+
+def restore_rng(rng: np.random.Generator, state_json) -> None:
+    rng.bit_generator.state = json.loads(str(state_json))
+
+
+def _fold_windows_pickle(window, windows) -> np.ndarray:
+    """n-step fold windows as a npz-safe uint8 blob.
+
+    The fold window persists ACROSS episodes (reference
+    ``DeepQNstep.py:59-99`` never clears it; the early-done cut handles
+    episode boundaries), so exact resume must carry the in-flight
+    transitions too, not just the ring buffer."""
+    import pickle
+
+    blob = pickle.dumps({"window": list(window),
+                         "windows": {k: list(v) for k, v in windows.items()}})
+    return np.frombuffer(blob, dtype=np.uint8)
+
+
+def _unfold_windows_pickle(arr, maxlen: int):
+    import pickle
+
+    d = pickle.loads(np.asarray(arr, dtype=np.uint8).tobytes())
+    window = deque(d["window"], maxlen=maxlen)
+    windows = {k: deque(v, maxlen=maxlen) for k, v in d["windows"].items()}
+    return window, windows
 
 
 class ReplayMemory:
@@ -66,7 +100,7 @@ class ReplayMemory:
         return {"states": self.states[:n], "actions": self.actions[:n],
                 "rewards": self.rewards[:n], "next_states": self.next_states[:n],
                 "dones": self.dones[:n], "position": self.position,
-                "size": n}
+                "size": n, "rng_state": rng_state_json(self.rng)}
 
     def load_state_dict(self, d):
         n = int(d["size"])
@@ -78,6 +112,8 @@ class ReplayMemory:
         self.dones[:n] = d["dones"]
         self.position = int(d["position"]) % self.capacity
         self.size = n
+        if "rng_state" in d:          # absent in pre-round-4 checkpoints
+            restore_rng(self.rng, d["rng_state"])
 
 
 class PrioritizedReplayMemory(ReplayMemory):
@@ -118,6 +154,19 @@ class PrioritizedReplayMemory(ReplayMemory):
     def clean_memory(self) -> None:
         super().clean_memory()
         self.priorities = np.zeros(self.capacity, dtype=np.float32)
+
+    def state_dict(self):
+        d = super().state_dict()
+        d["priorities"] = self.priorities[: self.size]
+        return d
+
+    def load_state_dict(self, d):
+        super().load_state_dict(d)
+        self.priorities = np.zeros(self.capacity, dtype=np.float32)
+        if "priorities" in d:
+            self.priorities[: self.size] = d["priorities"]
+        else:                     # pre-round-4 checkpoint: neutral restart
+            self.priorities[: self.size] = 1.0
 
 
 class DeviceReplay:
@@ -270,13 +319,19 @@ class DeviceReplay:
     def state_dict(self):
         self.flush()
         n = self.size
-        return {"states": np.asarray(self.states[:n]),
-                "actions": np.asarray(self.actions[:n]),
-                "rewards": np.asarray(self.rewards[:n]),
-                "next_states": np.asarray(self.next_states[:n]),
-                "dones": np.asarray(self.dones[:n]),
-                "demos": np.asarray(self.demos[:n]),
-                "position": self.position, "size": n}
+        d = {"states": np.asarray(self.states[:n]),
+             "actions": np.asarray(self.actions[:n]),
+             "rewards": np.asarray(self.rewards[:n]),
+             "next_states": np.asarray(self.next_states[:n]),
+             "dones": np.asarray(self.dones[:n]),
+             "demos": np.asarray(self.demos[:n]),
+             "position": self.position, "size": n,
+             "rng_state": rng_state_json(self.rng),
+             "fold_windows": _fold_windows_pickle(self.window,
+                                                  self._windows)}
+        if self.per:
+            d["priorities"] = self.priorities[:n]
+        return d
 
     def load_state_dict(self, d):
         jnp = self._jnp
@@ -294,6 +349,15 @@ class DeviceReplay:
         self.dones = self.dones.at[jidx].set(jnp.asarray(d["dones"]))
         self.position = int(d["position"]) % self.capacity
         self.size = n
+        if "rng_state" in d:
+            restore_rng(self.rng, d["rng_state"])
+        if "priorities" in d:
+            self.priorities[:n] = d["priorities"]
+        elif self.per:
+            self.priorities[:n] = 1.0
+        if "fold_windows" in d:
+            self.window, self._windows = _unfold_windows_pickle(
+                d["fold_windows"], max(self.n_step, 1))
 
 
 class NStepReplayMemory(ReplayMemory):
@@ -338,3 +402,14 @@ class NStepReplayMemory(ReplayMemory):
         super().clean_memory()
         self.window = deque(maxlen=self.n_step)
         self._windows = {}
+
+    def state_dict(self):
+        d = super().state_dict()
+        d["fold_windows"] = _fold_windows_pickle(self.window, self._windows)
+        return d
+
+    def load_state_dict(self, d):
+        super().load_state_dict(d)
+        if "fold_windows" in d:
+            self.window, self._windows = _unfold_windows_pickle(
+                d["fold_windows"], self.n_step)

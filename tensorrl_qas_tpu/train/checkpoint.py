@@ -24,8 +24,14 @@ def save_checkpoint(path_prefix: str, agent, env=None) -> None:
     np.savez_compressed(path_prefix + "_replay.npz",
                         **agent.memory.state_dict())
     if env is not None:
+        # curriculum + the env's RNG streams (reset-halt draws / noise
+        # key), so a resumed run replays the exact trajectory
+        payload = {"curricula": env.curriculum_state(),
+                   "np_rng": getattr(env, "_np_rng", None),
+                   "key": (np.asarray(env._key)
+                           if hasattr(env, "_key") else None)}
         with open(path_prefix + "_env.pkl", "wb") as f:
-            pickle.dump({"curricula": env.curriculum_state()}, f)
+            pickle.dump(payload, f)
 
 
 def load_checkpoint(path_prefix: str, agent, env=None,
@@ -39,4 +45,11 @@ def load_checkpoint(path_prefix: str, agent, env=None,
         agent.memory.load_state_dict({k: data[k] for k in data.files})
     if env is not None and os.path.exists(path_prefix + "_env.pkl"):
         with open(path_prefix + "_env.pkl", "rb") as f:
-            env.load_curriculum_state(pickle.load(f)["curricula"])
+            payload = pickle.load(f)
+        env.load_curriculum_state(payload["curricula"])
+        if payload.get("np_rng") is not None:
+            env._np_rng = payload["np_rng"]
+        if payload.get("key") is not None:
+            import jax.numpy as jnp
+
+            env._key = jnp.asarray(payload["key"])
