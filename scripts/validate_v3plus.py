@@ -53,8 +53,9 @@ if __name__ == "__main__":
     for n in (int(s) for s in args.sizes.split(",")):
         rows += [(n, 4)] if n >= 18 else [(n, 4), (n, 8)]
 
-    failed = False
-    for n, s in rows:
+    def validate_row(n, s):
+        from tensorrl_qas_tpu.ops.pallas_opt2d import MAX_SR_ROWS
+
         paulis, weights = heisenberg_hamiltonian(n)
         ps = PauliSum.from_strings(paulis, weights, n)
         tape = random_tape(n, args.gates, seed=2)
@@ -80,7 +81,6 @@ if __name__ == "__main__":
         e_ref = float(opt_ref.energy(psi0_ri, arrs, x0))
         de = abs(float(e_kern) - e_ref)
         ok = de < 1e-3 * max(1.0, abs(e_ref))
-        failed |= not ok
         print(f"n={n}: forward energy kernel={float(e_kern):+.6f} "
               f"xla={e_ref:+.6f} |d|={de:.2e} "
               f"{'OK' if ok else 'MISMATCH'}", flush=True)
@@ -90,6 +90,7 @@ if __name__ == "__main__":
                              iters=args.iters, n_starts=s,
                              dtype=jnp.complex64, use_pallas=True)
         opt._pauli_obj = ps
+        n_chunks = -(-s * ((1 << n) // 128) // MAX_SR_ROWS)
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         x1, e1, _ = opt.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs,
@@ -104,10 +105,22 @@ if __name__ == "__main__":
         jax.block_until_ready(e1)
         per_step = (time.time() - t0) / args.timed
         assert np.isfinite(float(e1)), (n, s, float(e1))
-        print(f"n={n} S={s} iters={args.iters}: cold {compile_s:.1f}s, "
+        print(f"n={n} S={s} iters={args.iters} "
+              f"({n_chunks} kernel call(s)/step): cold {compile_s:.1f}s, "
               f"{per_step * 1e3:.0f} ms/fused-step, "
               f"E={float(e1):+.6f} (descended from {e_ref:+.6f})",
               flush=True)
+        return ok
+
+    failed = False
+    for n, s in rows:
+        try:
+            failed |= not validate_row(n, s)
+        except Exception as exc:  # noqa: BLE001 — isolate rows: one
+            # size/S failure must not kill the remaining measurements
+            failed = True
+            print(f"n={n} S={s}: FAILED {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:300]}", flush=True)
 
     if failed:
         print("VALIDATION FAILED: kernel/XLA energy mismatch above",

@@ -44,14 +44,17 @@ the same kernel covers the reference's single-box mid-band
   residency no longer caps n (molecular 12q: 142 groups = 9 MB at n = 13).
 
 VMEM then holds only ~8 live (S*R, 128) f32 state planes (forward state,
-backward state + cotangent, H psi scratch, psi0 tiles), so n = 16 fits
-with n_starts <= 4 and n = 15 with 8; ``AngleOptimizer._mega2d_ready``
-does the budget arithmetic.  The same accounting extends the band to
-n = 18 (n = 17 with n_starts <= 8, n = 18 with <= 4): every size-derived
-structure (roll distances, row-bit selects, start tiling, streamed-W
-buffers) is generic in R, and the XOR-partner rolls never cross start
-blocks (subtracting/adding 2^k from a row index whose bit k is set/clear
-cannot borrow into the start-id bits).
+backward state + cotangent, H psi scratch, psi0 tiles);
+``AngleOptimizer._mega2d_ready`` does the budget arithmetic.  Every
+size-derived structure (roll distances, row-bit selects, start tiling,
+streamed-W buffers) is generic in R, and the XOR-partner rolls never
+cross start blocks (subtracting/adding 2^k from a row index whose bit k
+is set/clear cannot borrow into the start-id bits).  The binding per-call
+constraint is NOT the modeled planes but Mosaic's register allocator:
+above S*R = MAX_SR_ROWS sublane rows it spills >100 MB of scoped VMEM
+(v5e-measured at 17q S=8) — wider start counts are host-chunked across
+calls of at most MAX_SR_ROWS rows each, so the band runs at full start
+counts through n = 18.
 
 Round-3 dispatch: per-gate work is class-specialized (apply_gate_fast2d /
 bwd_gate_fast2d, twins of ops/pallas_apply.py's v1 versions) — the serial
@@ -94,10 +97,16 @@ _LOG_C = 7
 
 MAX_DIM_2D = 262144   # n <= 18: streamed W planes; VMEM holds state only
                       # (v3+ round 3: the roll/select machinery and the
-                      # launch path are R-generic; the binding constraint
-                      # is the ~8 live (S*R, 128) f32 state planes vs
-                      # VMEM_BUDGET, so n = 17 runs with n_starts <= 8
-                      # and n = 18 with n_starts <= 4)
+                      # launch path are R-generic)
+MAX_SR_ROWS = 4096    # hard per-call cap on S*R (state plane sublane
+                      # rows): v5e-measured Mosaic wall — at S*R = 8192
+                      # (17q S=8) the register allocator spills 149.7 MB
+                      # of scoped VMEM and compilation ooms, while every
+                      # S*R <= 4096 configuration (16q S=8, 17q S=4)
+                      # compiles and runs.  Wider start counts are
+                      # chunked across kernel calls by the host
+                      # (AngleOptimizer.fused_step_batch), preserving
+                      # full multi-start semantics.
 MIN_DIM_2D = 128      # n >= 7: need at least one full lane row
 VMEM_BUDGET = 48 * 2**20   # working-set ceiling used for engine selection
                            # (v5e scoped VMEM raised via vmem_limit_bytes;

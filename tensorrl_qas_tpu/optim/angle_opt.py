@@ -219,21 +219,23 @@ class AngleOptimizer:
 
     def _mega2d_ready(self) -> bool:
         """Prepare flip-grouped Pauli planes for the 2D-tiled mega-kernel
-        (ops/pallas_opt2d.py); usable for 128 <= D <= 262144 (n <= 18,
-        VMEM budget permitting — n = 17 needs n_starts <= 8, n = 18
-        needs <= 4).
+        (ops/pallas_opt2d.py); usable for 128 <= D <= 262144 (n <= 18).
 
         Decides W-plane placement: VMEM-resident below W_RESIDENT_MAX,
         HBM-streamed above; rejects configurations whose live state
-        planes (~8 f32 (n_starts*R, 128) blocks through the backward
-        pass) exceed the VMEM budget — at n = 16 that means
-        n_starts <= 4."""
+        planes (~8 f32 (S*R, 128) blocks through the backward pass)
+        exceed the VMEM budget.  S here is the PER-CALL start count:
+        start counts above the per-call cap (MAX_SR_ROWS, the measured
+        v5e Mosaic register-spill wall) are chunked across kernel calls
+        by ``fused_step_batch``, so e.g. 17q S=8 runs as 2x S=4 calls
+        rather than being rejected."""
         if self._w2d is not None:
             return True
         if self._pauli_obj is None or self._w2d_rejected:
             return False
         from tensorrl_qas_tpu.ops.pallas_opt2d import (
             MAX_DIM_2D,
+            MAX_SR_ROWS,
             MIN_DIM_2D,
             VMEM_BUDGET,
             W_RESIDENT_MAX,
@@ -245,7 +247,8 @@ class AngleOptimizer:
             self._w2d_rejected = True
             return False
         r_rows = d // 128
-        state_bytes = 8 * self.n_starts * r_rows * 128 * 4
+        s_eff = min(self.n_starts, max(1, MAX_SR_ROWS // r_rows))
+        state_bytes = 8 * s_eff * r_rows * 128 * 4
         # cheap pre-plane rejection: the state planes alone bust the
         # budget even with fully streamed W (one (R, C) buffer pair) —
         # don't build (and then discard) the W planes every env step
@@ -612,22 +615,55 @@ class AngleOptimizer:
                     lr=self.lr, interpret=self.pallas_interpret,
                     noise=kernel_noise, seeds=kernel_seeds)
             else:
-                from tensorrl_qas_tpu.ops.pallas_opt2d import \
-                    fused_adam_step_pallas2d
+                from tensorrl_qas_tpu.ops.pallas_opt2d import (
+                    MAX_SR_ROWS,
+                    fused_adam_step_pallas2d,
+                )
 
                 wre, wim, flips = self._w2d
                 r_rows = wre.shape[1]
-                x_opt, e_new = fused_adam_step_pallas2d(
-                    tuple(map(jnp.asarray, old_arrs_b)),
-                    tuple(map(jnp.asarray, new_arrs_b)),
-                    jnp.asarray(map_idx_b),
-                    jnp.asarray(re0).reshape(r_rows, -1),
-                    jnp.asarray(im0).reshape(r_rows, -1),
-                    wre, wim, flips, starts, active[:, None, :],
-                    iters=self.iters, lr=self.lr,
-                    interpret=self.pallas_interpret,
-                    noise=kernel_noise, seeds=kernel_seeds,
-                    stream_w=getattr(self, "_w2d_stream", False))
+
+                def call2d(starts_chunk, seeds_chunk):
+                    return fused_adam_step_pallas2d(
+                        tuple(map(jnp.asarray, old_arrs_b)),
+                        tuple(map(jnp.asarray, new_arrs_b)),
+                        jnp.asarray(map_idx_b),
+                        jnp.asarray(re0).reshape(r_rows, -1),
+                        jnp.asarray(im0).reshape(r_rows, -1),
+                        wre, wim, flips, starts_chunk, active[:, None, :],
+                        iters=self.iters, lr=self.lr,
+                        interpret=self.pallas_interpret,
+                        noise=kernel_noise, seeds=seeds_chunk,
+                        stream_w=getattr(self, "_w2d_stream", False))
+
+                s_cap = max(1, MAX_SR_ROWS // r_rows)
+                if starts.shape[1] <= s_cap:
+                    x_opt, e_new = call2d(starts, kernel_seeds)
+                else:
+                    # start-chunking past the per-call S*R wall: each
+                    # chunk runs its full multi-start Adam; the winner is
+                    # the chunk with the lower post-action energy (with
+                    # one chunk this is exactly the unchunked result).
+                    # Pad S up to a multiple of s_cap by repeating the
+                    # first start so all chunks share one executable.
+                    s = starts.shape[1]
+                    n_chunks = -(-s // s_cap)
+                    pad = n_chunks * s_cap - s
+                    if pad:
+                        starts = jnp.concatenate(
+                            [starts, starts[:, :pad]], axis=1)
+                    x_opt = e_new = None
+                    for ci in range(n_chunks):
+                        sc = starts[:, ci * s_cap:(ci + 1) * s_cap]
+                        seeds_c = (kernel_seeds + ci
+                                   if kernel_seeds is not None else None)
+                        x_c, e_c = call2d(sc, seeds_c)
+                        if x_opt is None:
+                            x_opt, e_new = x_c, e_c
+                        else:
+                            better = e_c < e_new
+                            x_opt = jnp.where(better[:, None], x_c, x_opt)
+                            e_new = jnp.where(better, e_c, e_new)
         elif self.use_pallas and (self.pallas_interpret
                                   or 128 <= psi0[0].shape[-1] <= 65536):
             # composed kernels need the 128-lane minimum on real hardware

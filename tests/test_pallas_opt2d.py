@@ -183,18 +183,18 @@ def test_v3plus_beyond_v3_ceiling(n):
 
 
 def test_v3_budget_selection():
-    """Engine selection does the VMEM arithmetic: n=14 heisenberg is
-    v2-resident; n=16 streams its W planes (hardware-calibrated: n=16
-    compiles and runs at S=8 with the raised scoped-VMEM limit); the
-    v3+ band accepts n=17 at S<=8 and n=18 at S<=4, falling back to
-    the composed kernels above the state-plane budget."""
+    """Engine selection does the VMEM arithmetic with the PER-CALL start
+    count: n=14 heisenberg is v2-resident; n=16 streams its W planes;
+    start counts past the per-call S*R wall (MAX_SR_ROWS, the measured
+    v5e Mosaic register-spill limit) are host-chunked rather than
+    rejected, so the whole n<=18 band stays on the v2 kernel at any S."""
     for n, n_starts, want, want_stream in [(14, 8, "v2", False),
                                            (16, 8, "v2", True),
                                            (16, 4, "v2", True),
                                            (17, 8, "v2", True),
-                                           (17, 16, "composed", None),
+                                           (17, 16, "v2", True),
                                            (18, 4, "v2", True),
-                                           (18, 8, "composed", None)]:
+                                           (18, 8, "v2", True)]:
         paulis, weights = heisenberg_hamiltonian(n)
         ps = PauliSum.from_strings(paulis, weights, n)
         opt = AngleOptimizer(ps.device_arrays(jnp.complex64),
@@ -204,6 +204,40 @@ def test_v3_budget_selection():
         assert opt._pick_engine() == want, (n, n_starts)
         if want_stream is not None and want == "v2":
             assert opt._w2d_stream == want_stream
+
+
+def test_start_chunking_matches_unchunked(monkeypatch):
+    """Past the per-call S*R wall the host splits starts across kernel
+    calls and keeps the lowest post-action energy.  The unchunked
+    winner (best pre-action start) is some chunk's winner too, so the
+    chunked e_new can only improve on the unchunked one; both paths
+    must stay on the v2 engine and produce finite angles."""
+    import tensorrl_qas_tpu.ops.pallas_opt2d as opt2d
+
+    n = 8
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 16, seed=5, iters=4,
+                                              n_starts=4, engine="v2")
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    jarrs = tuple(map(jnp.asarray, arrs))
+    key = jax.random.PRNGKey(3)
+    x_u, e_u, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                                 map_idx, key)
+
+    # r_rows = 2 at n=8; cap S*R at 4 rows -> s_cap = 2 -> 2 chunks
+    monkeypatch.setattr(opt2d, "MAX_SR_ROWS", 4)
+    ps2, opt2, _, _, _, _ = _setup(n, 16, seed=5, iters=4, n_starts=4,
+                                   engine="v2")
+    x_c, e_c, _ = opt2.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
+                                  map_idx, key)
+    assert np.all(np.isfinite(x_c))
+    assert e_c <= e_u + 1e-5, (e_c, e_u)
+
+    # non-dividing S pads by repeating starts (3 chunks of 2 for S=5)
+    ps3, opt3, _, _, _, _ = _setup(n, 16, seed=5, iters=4, n_starts=5,
+                                   engine="v2")
+    x_c5, e_c5, _ = opt3.fused_step(psi0_ri, jarrs, x0, tape.n_rots,
+                                    jarrs, map_idx, key)
+    assert np.all(np.isfinite(x_c5)) and np.isfinite(e_c5)
 
 
 def test_v2_dynamic_group_path():
