@@ -43,6 +43,9 @@ _X = int(GateKind.X)
 _Y = int(GateKind.Y)
 _Z = int(GateKind.Z)
 _H = int(GateKind.H)
+_RXX = int(GateKind.RXX)
+_RYY = int(GateKind.RYY)
+_RZZ = int(GateKind.RZZ)
 
 _INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 
@@ -57,7 +60,8 @@ def _mm(a, b):
                    precision=lax.Precision.HIGHEST)
 
 PALLAS_MAX_DIM = 1024
-PALLAS_KINDS_OK = (_RX, _RY, _RZ, _CX, _X, _Y, _Z, _H, int(GateKind.NONE))
+PALLAS_KINDS_OK = (_RX, _RY, _RZ, _CX, _X, _Y, _Z, _H, int(GateKind.NONE),
+                   _RXX, _RYY, _RZZ)
 
 
 def _gate_coeffs(k, theta):
@@ -144,20 +148,30 @@ def _gate_class(k, c):
     """Scalar dispatch index for ``_apply_gate_fast`` / ``_bwd_gate_fast``:
     0 = identity/padding, 1 = uncontrolled diagonal (RZ, Z),
     2 = permutation (X, CX), 3 = uncontrolled RX, 4 = uncontrolled RY,
-    5 = generic (H, Y, and any controlled rotation/diagonal).
+    5 = generic (H, Y, and any controlled rotation/diagonal),
+    6 = RZZ (diagonal two-qubit rotation, no rolls),
+    7 = RXX/RYY (two-qubit rotation, double XOR-partner rolls).
 
-    Routing *controlled* rotations to the generic class lets the rotation
-    branches drop the control blend entirely (the CNOT+rotation action
-    set never emits them; the tape format allows them, so semantics are
-    preserved via the generic path)."""
+    Classes 6/7 are the SU(4) action set (reference
+    ``VQE_qulacs_su4.py:70-91``); for them ``c`` is the SECOND QUBIT of
+    the rotation, not a control.
+
+    Routing *controlled* 1q rotations to the generic class lets the
+    rotation branches drop the control blend entirely (the CNOT+rotation
+    action set never emits them; the tape format allows them, so
+    semantics are preserved via the generic path)."""
     unctrl = c < 0
     return jnp.where(
         k == _NONE, 0,
         jnp.where(((k == _RZ) | (k == _Z)) & unctrl, 1,
                   jnp.where((k == _CX) | (k == _X), 2,
                             jnp.where((k == _RX) & unctrl, 3,
-                                      jnp.where((k == _RY) & unctrl,
-                                                4, 5)))))
+                                      jnp.where((k == _RY) & unctrl, 4,
+                                                jnp.where(k == _RZZ, 6,
+                                                          jnp.where(
+                                                              (k == _RXX)
+                                                              | (k == _RYY),
+                                                              7, 5)))))))
 
 
 def _theta_sel(xmat, s, slot_row):
@@ -242,9 +256,29 @@ def _apply_gate_fast(re, im, k, t, c, s, xmat, slot_row, col):
         nre, nim, _, _ = _apply_u(re, im, coeffs, t, b, act)
         return nre, nim
 
+    def cls_rzz(_):
+        # exp(-i th/2 Z@Z): diagonal phase by the (t, c)-bit parity
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
+        return cth * re + sth * z * im, cth * im - sth * z * re
+
+    def cls_r2q(_):
+        # exp(-i th/2 {X@X, Y@Y}): partner = psi[i ^ 2^t ^ 2^c] via two
+        # roll pairs; YY carries the (-1)^(bit_t + bit_c) sign
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
+        pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
+        z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
+        f = jnp.where(k == _RXX, 1.0, -z)
+        return cth * re + sth * f * pim2, cth * im - sth * f * pre2
+
     return lax.switch(_gate_class(k, c),
                       [cls_none, cls_diag, cls_perm, cls_rx, cls_ry,
-                       cls_generic], 0)
+                       cls_generic, cls_rzz, cls_r2q], 0)
 
 
 def _bwd_gate_fast(re, im, lre, lim, k, t, c, s, xmat, slot_row, col):
@@ -348,9 +382,36 @@ def _bwd_gate_fast(re, im, lre, lim, k, t, c, s, xmat, slot_row, col):
         nlr, nli, _, _ = _apply_u(lre, lim, ct, t, b, act)
         return nre, nim, nlr, nli, cg
 
+    def cls_rzz(_):
+        # diagonal: G psi = z psi; U^T = U, U^H = U(-th); no rolls
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
+        cg = grad(z * re, z * im)
+        return (cth * re - sth * z * im, cth * im + sth * z * re,
+                cth * lre + sth * z * lim, cth * lim - sth * z * lre, cg)
+
+    def cls_r2q(_):
+        # XX / YY are real symmetric, so U^T = U and U^H = U(-th);
+        # G psi_after = partner (XX) or -z * partner (YY)
+        th = _theta_sel(xmat, s, slot_row)
+        cth = jnp.cos(0.5 * th)
+        sth = jnp.sin(0.5 * th)
+        pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
+        pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
+        plre2 = _xor_lane(_xor_lane(lre, t, d), c, d)
+        plim2 = _xor_lane(_xor_lane(lim, t, d), c, d)
+        z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
+        f = jnp.where(k == _RXX, 1.0, -z)
+        cg = grad(f * pre2, f * pim2)
+        return (cth * re - sth * f * pim2, cth * im + sth * f * pre2,
+                cth * lre + sth * f * plim2, cth * lim - sth * f * plre2,
+                cg)
+
     return lax.switch(_gate_class(k, c),
                       [cls_none, cls_diag, cls_perm, cls_rx, cls_ry,
-                       cls_generic], 0)
+                       cls_generic, cls_rzz, cls_r2q], 0)
 
 
 def _fwd_kernel(kind_ref, tq_ref, cq_ref, slot_ref, angles_ref,
