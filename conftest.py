@@ -20,3 +20,25 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+collect_ignore_glob = []
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy interpret-mode kernel / long training-loop tests, "
+        "skipped unless TRLQAS_SLOW_TESTS=1 (the fast default tier keeps "
+        "one representative per subsystem)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TRLQAS_SLOW_TESTS"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow tier: set TRLQAS_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -87,6 +87,7 @@ def test_adjoint_energy_value_and_grad_match_autodiff(enable_2q):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_adjoint_energy_grad_wrt_psi0_matches_autodiff():
     n = 3
     ps = _ps(n, seed=7)

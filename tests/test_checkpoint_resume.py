@@ -73,6 +73,7 @@ def test_resume_bit_identical_trajectory(tmp_path):
     assert agent2.step_counter == agent.step_counter
 
 
+@pytest.mark.slow
 def test_resume_restores_replay_and_rngs(tmp_path):
     prefix = str(tmp_path / "ckpt")
     conf, env, agent, saver = _make(tmp_path / "a")
@@ -97,6 +98,7 @@ def test_resume_restores_replay_and_rngs(tmp_path):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
 
 
+@pytest.mark.slow
 def test_epsilon_restart_semantics(tmp_path):
     """Reference ``init_net`` + ``epsilon_restart=0`` skips the epsilon
     restart (``TensorRL_fixed_noiseless.py:247-252``) — the reload path

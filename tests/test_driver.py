@@ -87,6 +87,7 @@ def test_agent_test_greedy_rollout(tmp_path):
     assert len(saver.stats["test"][0]["actions"]) >= 1
 
 
+@pytest.mark.slow
 def test_agent_test_saves_best_per_threshold(tmp_path):
     """First completed eval at a threshold is a best; a later worse one
     must not overwrite it (TensorRL_fixed_noiseless.py:94-98 intent)."""
@@ -152,6 +153,7 @@ def test_tn_psi_memoized_across_envs():
     assert e1._tn_psi is e2._tn_psi
 
 
+@pytest.mark.slow
 def test_collect_demo_transitions():
     """Demo seeding: a gate list replays into env transitions with the
     trainer's observation pipeline (train/vector_driver.py)."""

@@ -98,6 +98,7 @@ def test_full_episode_terminates():
     assert env.step_counter <= env.num_layers_termination - 1
 
 
+@pytest.mark.slow
 def test_optimizer_improves_energy_over_steps():
     env = make_env("fixed", iters=60)
     env.reset()
@@ -130,6 +131,7 @@ def test_angle_roundtrip_tape_vs_tensor_order():
     np.testing.assert_allclose(st.to_tape(8, 8).x0()[:3], [1.0, 2.0, 3.0])
 
 
+@pytest.mark.slow
 def test_hexagon_restricted_env():
     """Heavy-hex restricted mode: CNOT-only action space (reference filter
     quirk) on the 8q benchmark problem with shot noise."""

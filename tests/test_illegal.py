@@ -7,6 +7,7 @@ any CNOT touching the qubit; for CNOTs: any overlap of {ctrl,targ}).
 """
 
 import numpy as np
+import pytest
 
 from tensorrl_qas_tpu.circuits.actions import all_to_all_actions
 from tensorrl_qas_tpu.envs.illegal import IllegalActionTracker
@@ -118,6 +119,7 @@ def test_hexagon_full_actions_extension():
         assert action_dictionary(n, "hexagon_full", reverted=True) == d
 
 
+@pytest.mark.slow
 def test_hexagon_full_env_steps_and_improves():
     """A trainable env on the fixed-up restricted space must be able to
     place rotations (the parity 'hexagon' space cannot)."""

@@ -30,6 +30,7 @@ def _run_batch(opt, tape, arrs, x0, psi0_ri, e):
 
 @pytest.mark.parametrize("engine,module", [("v1", pallas_opt),
                                            ("v2", pallas_opt2d)])
+@pytest.mark.slow
 def test_chunked_batch_matches_unchunked(engine, module, monkeypatch):
     e = 5
     _, opt, tape, arrs, x0, psi0_ri = _setup(8, 16, seed=9, iters=5,

@@ -139,6 +139,7 @@ def _have_data():
 
 
 @pytest.mark.skipif(not _have_data(), reason="no data")
+@pytest.mark.slow
 def test_noisy_env_step():
     """Depolarizing env mode: energies are stochastic but bounded; the env
     runs end-to-end (reference environment_qulacs_noise capability)."""

@@ -159,6 +159,7 @@ def test_pallas_trajectory_mean_matches_kraus():
     assert abs(es.mean() - exact) < 5 * sigma + 1e-3
 
 
+@pytest.mark.slow
 def test_fused_step_batch_depolarizing_pallas_vs_xla():
     """The full noisy fused step through the composed kernels lands where
     the XLA noisy path lands (stochastic: loose tolerance)."""
@@ -197,6 +198,7 @@ def test_fused_step_batch_depolarizing_pallas_vs_xla():
     assert ec2 == pytest.approx(ec1, abs=0.3)
 
 
+@pytest.mark.slow
 def test_vector_env_noise_through_kernels():
     """End-to-end: vectorized env stepping with depolarizing noise through
     the composed Pallas kernels (interpret mode)."""
@@ -226,6 +228,7 @@ def test_vector_env_noise_through_kernels():
     assert venv.envs[0].error == venv.envs[0].error_noiseless
 
 
+@pytest.mark.slow
 def test_mega_kernel_quenched_trajectory():
     """noise_resample='step' quenches one sampled trajectory per env step
     into the extended tape and runs the single-launch mega-kernel."""
@@ -299,6 +302,7 @@ def _tiled_inputs(tape, n_env):
     return arrs_b, x0_b, map_idx
 
 
+@pytest.mark.slow
 def test_mega_kernel_inkernel_noise_p0_is_noiseless():
     """noise_resample='iter' on the v1 mega-kernel at p=0 must equal the
     noiseless kernel exactly (the in-kernel-PRNG variant, safe to check
@@ -368,6 +372,7 @@ def test_mega_kernel_inkernel_noise_matches_kraus():
     assert abs(es.mean() - exact) < 5 * sigma + 1e-3
 
 
+@pytest.mark.slow
 def test_fused_step_batch_shot_pallas():
     """Shot mode through the kernels: huge n_shots ==> noiseless energies."""
     n = 3
@@ -399,6 +404,7 @@ def test_fused_step_batch_shot_pallas():
     assert e2[0] == pytest.approx(e_clean, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_v2_mega_kernel_inkernel_noise_p0_is_noiseless():
     """The 2D-tiled mega-kernel's in-kernel noise variant at p=0 must
     equal the noiseless v2 kernel (n=7: the v2 minimum size)."""

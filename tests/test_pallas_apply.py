@@ -45,6 +45,7 @@ def test_pallas_matches_xla(n, gates):
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_gradients_flow():
     """custom_vjp backward (XLA adjoint) gives the same angle gradients."""
     n = 3

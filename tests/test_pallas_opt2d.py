@@ -74,6 +74,7 @@ def test_v2_energy_matches_xla_at_iters_zero(n):
     assert e2 == pytest.approx(e_ref, abs=2e-5)
 
 
+@pytest.mark.slow
 def test_v2_descends_and_lands_with_xla():
     """Full fused step: v2 must land at a comparable minimum to the XLA
     multi-start Adam, and its reported energy must equal the XLA energy
@@ -99,6 +100,7 @@ def test_v2_descends_and_lands_with_xla():
     assert e2 < e_start + 1e-6
 
 
+@pytest.mark.slow
 def test_v2_beyond_v1_ceiling_n11():
     """n=11 (D=2048) exceeds the v1 dense-H VMEM wall; v2 must still agree
     with the XLA energy (small tape, iters=0 to keep interpret-mode CI
@@ -127,6 +129,7 @@ def test_engine_auto_selection():
         assert opt._pick_engine() == want
 
 
+@pytest.mark.slow
 def test_v3_streamed_w_matches_resident():
     """stream_w=True (W planes DMA'd from HBM per group) must reproduce
     the VMEM-resident kernel bit-for-bit at n=8 — same flip groups, same
@@ -147,6 +150,7 @@ def test_v3_streamed_w_matches_resident():
     assert e_str == pytest.approx(e_res, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_v3_beyond_v2_ceiling_n13():
     """n=13 (D=8192) exceeds the round-2 v2 cap (MAX_DIM_2D was 4096);
     the extended kernel must agree with the XLA energy."""
@@ -165,6 +169,7 @@ def test_v3_beyond_v2_ceiling_n13():
 
 
 @pytest.mark.parametrize("n", [17, 18])
+@pytest.mark.slow
 def test_v3plus_beyond_v3_ceiling(n):
     """n=17/18 (D=131072/262144) exceed the round-3 v3 cap (MAX_DIM_2D
     was 65536); the extended kernel must agree with the XLA energy."""
@@ -206,6 +211,7 @@ def test_v3_budget_selection():
             assert opt._w2d_stream == want_stream
 
 
+@pytest.mark.slow
 def test_start_chunking_matches_unchunked(monkeypatch):
     """Past the per-call S*R wall the host splits starts across kernel
     calls and keeps the lowest post-action energy.  The unchunked
@@ -215,7 +221,7 @@ def test_start_chunking_matches_unchunked(monkeypatch):
     import tensorrl_qas_tpu.ops.pallas_opt2d as opt2d
 
     n = 8
-    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 16, seed=5, iters=4,
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, 12, seed=5, iters=2,
                                               n_starts=4, engine="v2")
     map_idx = np.arange(len(x0), dtype=np.int32)
     jarrs = tuple(map(jnp.asarray, arrs))
@@ -225,21 +231,22 @@ def test_start_chunking_matches_unchunked(monkeypatch):
 
     # r_rows = 2 at n=8; cap S*R at 4 rows -> s_cap = 2 -> 2 chunks
     monkeypatch.setattr(opt2d, "MAX_SR_ROWS", 4)
-    ps2, opt2, _, _, _, _ = _setup(n, 16, seed=5, iters=4, n_starts=4,
+    ps2, opt2, _, _, _, _ = _setup(n, 12, seed=5, iters=2, n_starts=4,
                                    engine="v2")
     x_c, e_c, _ = opt2.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs,
                                   map_idx, key)
     assert np.all(np.isfinite(x_c))
     assert e_c <= e_u + 1e-5, (e_c, e_u)
 
-    # non-dividing S pads by repeating starts (3 chunks of 2 for S=5)
-    ps3, opt3, _, _, _, _ = _setup(n, 16, seed=5, iters=4, n_starts=5,
+    # non-dividing S pads by repeating starts (2 chunks of 2 for S=3)
+    ps3, opt3, _, _, _, _ = _setup(n, 12, seed=5, iters=2, n_starts=3,
                                    engine="v2")
     x_c5, e_c5, _ = opt3.fused_step(psi0_ri, jarrs, x0, tape.n_rots,
                                     jarrs, map_idx, key)
     assert np.all(np.isfinite(x_c5)) and np.isfinite(e_c5)
 
 
+@pytest.mark.slow
 def test_v2_dynamic_group_path():
     """Molecular Hamiltonians exceed the 32-group static-unroll cap and
     take the fori_loop path with runtime flip masks; it must agree with

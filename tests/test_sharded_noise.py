@@ -38,6 +38,7 @@ def _psi0_ri(n):
             np.imag(psi0).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_sharded_noisy_energy_matches_single_chip_extension():
     """energy() with a fixed key == the single-chip noiseless energy of
     the identically-extended tape (deterministic trajectory parity)."""
@@ -88,6 +89,7 @@ def test_sharded_trajectory_mean_matches_kraus():
     assert abs(vals.mean() - exact) < 5 * sem + 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_fused_step_zero_noise_equals_noiseless():
     """p1=p2=0 extensions are all NONE gates: the noisy program must
     reproduce the noiseless fused step exactly (both resample modes)."""
@@ -130,6 +132,7 @@ def _env_cfg(**kw):
     return EnvConfig(**base)
 
 
+@pytest.mark.slow
 def test_env_step_sharded_depolarizing():
     """CircuitEnv accepts mesh_shape + depolarizing and takes real noisy
     training steps on the mesh (the reference's noisy modes at scale-out

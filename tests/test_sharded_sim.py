@@ -100,6 +100,7 @@ def test_sharded_heisenberg_warmstart_energy():
     assert -8.6 < e < -8.4
 
 
+@pytest.mark.slow
 def test_sharded_batched_dp_amp():
     """(dp x amp) jointly-sharded batch path vs single-chip results."""
     from jax.sharding import NamedSharding, PartitionSpec as P

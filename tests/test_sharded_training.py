@@ -31,6 +31,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 (virtual) devices")
 
 
+@pytest.mark.slow
 def test_sharded_fused_step_matches_single_chip():
     """Same problem/tape/warm start: the sharded fused step must land at a
     comparable minimum and report the single-chip energy at its solution."""
@@ -129,6 +130,7 @@ def test_env_steps_on_degenerate_single_device_mesh():
     assert env.nfev > 0
 
 
+@pytest.mark.slow
 def test_vector_env_on_sharded_path():
     """VectorCircuitEnv must work when the underlying envs run
     ShardedAngleOptimizer (fused_step_batch exists on both optimizers):

@@ -191,6 +191,7 @@ def test_su4_basis_synthesis_matches_cnot_basis():
     assert ov == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_su4_vectorized_env():
     """su4 gate set under the vectorized wrapper (batched XLA fused step)."""
     from tensorrl_qas_tpu.envs import EnvConfig
@@ -223,6 +224,7 @@ H2O_GEOM = ("H -0.021 -0.002 0.000; O 0.835 0.452 0.000; "
             "H 1.477 -0.273 0.000")
 
 
+@pytest.mark.slow
 def test_su4_in_state_warmstart_resolution_and_embedding():
     """gate_set='su4' + tn_placement='in_state' resolves the su4-basis
     warm start (init_*_su4.qasm, the consumer of the reference

@@ -30,6 +30,7 @@ def make_cfg(**kw):
         sim_dtype="complex128", seed=11, **kw)
 
 
+@pytest.mark.slow
 def test_vector_env_steps_all_replicas():
     venv = VectorCircuitEnv(make_cfg(), n_envs=4)
     obs = venv.reset_all()
@@ -63,6 +64,7 @@ def test_vector_env_matches_single_env():
     assert infos[0]["energy"] == pytest.approx(infos[1]["energy"], abs=0.05)
 
 
+@pytest.mark.slow
 def test_vector_env_auto_reset():
     venv = VectorCircuitEnv(make_cfg(rand_halt=0), n_envs=2)
     venv.reset_all()
@@ -85,6 +87,7 @@ def test_vector_env_auto_reset():
     assert done_seen
 
 
+@pytest.mark.slow
 def test_act_batch_respects_masks():
     from tensorrl_qas_tpu.agents.dqn import make_agent
     from tensorrl_qas_tpu.train.config import get_config
@@ -104,6 +107,7 @@ def test_act_batch_respects_masks():
             assert actions[i] not in ill
 
 
+@pytest.mark.slow
 def test_vector_env_noise_mode():
     """Vectorized stepping with depolarizing noise on the XLA batched path
     (the kernel path is covered by tests/test_noise_pallas.py)."""
@@ -142,6 +146,7 @@ def test_device_replay_per_path():
     assert pri.std() > 0
 
 
+@pytest.mark.slow
 def test_train_vectorized_writes_summary_npy(tmp_path):
     """The vectorized trainer must produce the sequential driver's full
     artifact set: reference-schema summary_<seed>.npy (episodes in
@@ -181,6 +186,7 @@ def test_train_vectorized_writes_summary_npy(tmp_path):
     assert (tmp_path / "vec_0_agent.msgpack").exists()
 
 
+@pytest.mark.slow
 def test_train_vectorized_early_stop_and_eps_rescale(tmp_path):
     """The early-stop criteria and the per-env-step epsilon rescale gate
     every multi-seed RESULTS row — pin both behaviors.
