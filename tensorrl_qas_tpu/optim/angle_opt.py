@@ -29,6 +29,8 @@ env step, the paper's headline metric, ``image/result2.png``).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,6 +190,7 @@ class AngleOptimizer:
         self._host_key = jax.random.PRNGKey(0xC0B)
         self._csim = None
         self._csim_tried = False
+        self._adjoint_slice = None   # built lazily per problem (slice engine)
         self._pauli_obj = None  # set by callers (csim + dense-H mega path)
         self._hre_t = None
         self._him_t = None
@@ -319,6 +322,21 @@ class AngleOptimizer:
             return (re + 1j * im).astype(self.dtype)
         return psi0
 
+    def _xla_slice(self, dim: int) -> bool:
+        """Gather-free slice engine for the XLA path at large D.
+
+        TPU gathers of 2^n elements run on the scalar core; the slice
+        engine (lax.switch over static reshapes, sim/apply.py) turns
+        gate application and H|psi> into block copies.  Hardware-probed
+        crossover: the gather path is fine through ~n=13 and pathological
+        by n=20 (36 s/iter, worker crashes); default to slices from
+        D = 2^14.  ``TRLQAS_XLA_APPLY=gather|slice`` forces one.
+        """
+        force = os.environ.get("TRLQAS_XLA_APPLY")
+        if force is not None:
+            return force == "slice"
+        return dim >= (1 << 14)
+
     def _energy(self, psi0, kind, tq, cq, slot, x, key):
         psi0 = self._as_complex(psi0)
         if self.noise_mode == "depolarizing":
@@ -332,9 +350,18 @@ class AngleOptimizer:
                 return one(key)
             return jnp.mean(jax.vmap(one)(jax.random.split(key, self.n_traj)))
 
-        psi = apply_tape(psi0, kind, tq, cq, slot, x,
-                         enable_2q=self.enable_2q)
-        e = pauli_expectation(psi, *self.pauli)
+        if self._xla_slice(psi0.shape[-1]):
+            from tensorrl_qas_tpu.sim.expectation import (
+                pauli_expectation_static,
+            )
+
+            psi = apply_tape(psi0, kind, tq, cq, slot, x,
+                             enable_2q=self.enable_2q, engine="slice")
+            e = pauli_expectation_static(psi, *self.pauli)
+        else:
+            psi = apply_tape(psi0, kind, tq, cq, slot, x,
+                             enable_2q=self.enable_2q)
+            e = pauli_expectation(psi, *self.pauli)
         if self.noise_mode == "shot" and self.n_shots:
             e = e + shot_noise(jnp.asarray(self.pauli[0]), self.n_shots, key)
         return e
@@ -359,10 +386,21 @@ class AngleOptimizer:
         ``apply_tape_depolarizing``)."""
         if self.noise_mode == "depolarizing":
             return self._energy(psi0, kind, tq, cq, slot, x, key)
-        from tensorrl_qas_tpu.sim.adjoint import adjoint_energy
+        psi0c = self._as_complex(psi0)
+        if self._xla_slice(psi0c.shape[-1]):
+            if self._adjoint_slice is None:
+                from tensorrl_qas_tpu.sim.adjoint import (
+                    make_adjoint_energy_slice,
+                )
 
-        e = adjoint_energy(self.enable_2q, self._as_complex(psi0), kind,
-                           tq, cq, slot, x, *self.pauli)
+                self._adjoint_slice = make_adjoint_energy_slice(
+                    self.enable_2q, self.pauli)
+            e = self._adjoint_slice(psi0c, kind, tq, cq, slot, x)
+        else:
+            from tensorrl_qas_tpu.sim.adjoint import adjoint_energy
+
+            e = adjoint_energy(self.enable_2q, psi0c, kind,
+                               tq, cq, slot, x, *self.pauli)
         if self.noise_mode == "shot" and self.n_shots:
             e = e + shot_noise(jnp.asarray(self.pauli[0]), self.n_shots, key)
         return e

@@ -160,3 +160,117 @@ def _adj_bwd(enable_2q, res, ct):
 
 
 adjoint_energy.defvjp(_adj_fwd, _adj_bwd)
+
+
+# -- gather-free (slice-engine) twin ----------------------------------------
+#
+# TPU gathers of 2^n elements run on the scalar core; at 20q the
+# gather-based adjoint spent ~99% of its time in per-gate ``jnp.take``
+# (36 s per iters=1 fused step, and the iters=20 S=4 program crashed the
+# TPU worker outright).  The slice engine replaces every XOR-partner
+# gather with static-axis reshapes (see sim/apply.py _xor_bit_exchange /
+# expectation.h_apply_static), turning the whole sweep into
+# HBM-bandwidth block copies + VPU elementwise work.
+
+def _generator_apply_slice(psi, k, t, c, enable_2q):
+    """Gather-free twin of ``_generator_apply``: the 1- or 2-bit XOR flip
+    becomes composed runtime single-bit exchanges (``lax.switch`` over
+    static reshapes); signs stay elementwise iota parities."""
+    from tensorrl_qas_tpu.sim.apply import _xor_bit_exchange
+
+    dim = psi.shape[-1]
+    idx = jnp.arange(dim, dtype=jnp.int32)
+    pair = k >= _RXX
+    axis = jnp.where((k == _RX) | (k == _RXX), 0,
+                     jnp.where((k == _RY) | (k == _RYY_KIND), 1, 2))
+    m = (1 << t) | jnp.where(pair, 1 << c, 0)
+    sm = jnp.where(axis == 0, 0, m)
+    signs = (1.0 - 2.0 * parity(idx & sm).astype(jnp.float32)).astype(
+        psi.dtype)
+    ip = jnp.where(axis == 1,
+                   jnp.where(pair, jnp.array(-1.0, psi.dtype),
+                             jnp.array(-1j, psi.dtype)),
+                   jnp.array(1.0, psi.dtype))
+    ex_t = _xor_bit_exchange(psi, t)
+    if enable_2q:
+        flipped = jnp.where(pair, _xor_bit_exchange(ex_t, c), ex_t)
+    else:
+        flipped = ex_t
+    permuted = jnp.where(axis == 2, psi, flipped)   # Z-type: flip mask 0
+    return ip * signs * permuted
+
+
+def make_adjoint_energy_slice(enable_2q, pauli_arrays):
+    """Build a gather-free ``adjoint_energy`` specialized to one Pauli sum.
+
+    ``pauli_arrays`` (host numpy, from ``PauliSum.device_arrays``) are
+    closed over as STATIC data: the flip masks drive trace-time static
+    XOR exchanges in ``h_apply_static``, which is what removes the
+    gathers.  Returns ``f(psi0, kind, tq, cq, slot, x) -> E`` with the
+    same custom-VJP adjoint sweep (O(1)-in-gates memory) as
+    ``adjoint_energy``.  Cache the returned function per optimizer — each
+    call builds a fresh jaxpr-traceable closure.
+    """
+    from tensorrl_qas_tpu.sim.apply import (
+        _apply_controlled_1q_slice,
+        _apply_two_pauli_rot_slice,
+    )
+    from tensorrl_qas_tpu.sim.expectation import (
+        h_apply_static,
+        pauli_expectation_static,
+    )
+
+    weights, flip, sign_mask, iphase = (np.asarray(a) for a in pauli_arrays)
+
+    @jax.custom_vjp
+    def energy_slice(psi0, kind, tq, cq, slot, x):
+        psi = apply_tape(psi0, kind, tq, cq, slot, x, enable_2q=enable_2q,
+                         engine="slice")
+        return pauli_expectation_static(psi, weights, flip, sign_mask,
+                                        iphase)
+
+    def fwd(psi0, kind, tq, cq, slot, x):
+        psi = apply_tape(psi0, kind, tq, cq, slot, x, enable_2q=enable_2q,
+                         engine="slice")
+        e = pauli_expectation_static(psi, weights, flip, sign_mask, iphase)
+        return e, (psi, kind, tq, cq, slot, x)
+
+    def bwd(res, ct):
+        psi, kind, tq, cq, slot, x = res
+        dtype = psi.dtype
+        rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        xs = x.astype(rdtype)
+        lam = h_apply_static(psi, weights, flip, sign_mask, iphase)
+        n2 = jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2)
+        e_val = jnp.sum(jnp.real(jnp.conj(psi) * lam)) / n2
+        lam = (lam - e_val.astype(dtype) * psi) / n2.astype(dtype)
+
+        def body(carry, g):
+            p, l, grad = carry
+            k, t, c, s = g
+            theta = jnp.where(s >= 0, xs[jnp.maximum(s, 0)], 0.0)
+            pg = _generator_apply_slice(p, k, t, jnp.maximum(c, 0),
+                                        enable_2q)
+            gval = jnp.imag(jnp.sum(jnp.conj(l) * pg)).astype(rdtype)
+            grad = grad.at[jnp.maximum(s, 0)].add(
+                jnp.where(s >= 0, gval, 0.0))
+            z = jnp.stack([p, l])
+            u = _gate_matrix(k, -theta, dtype)
+            z = _apply_controlled_1q_slice(z, u, t, c)
+            if enable_2q:
+                z2 = _apply_two_pauli_rot_slice(z, k, -theta, t,
+                                                jnp.maximum(c, 0))
+                z = jnp.where(k >= _RXX, z2, z)
+            return (z[0], z[1], grad), None
+
+        grad0 = jnp.zeros(x.shape, rdtype)
+        rev = tuple(jnp.flip(a, axis=0) for a in (kind, tq, cq, slot))
+        (_, lam0, grad), _ = lax.scan(body, (psi, lam, grad0), rev)
+        ct_r = jnp.asarray(ct, rdtype)
+        f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+        return ((2.0 * ct_r).astype(dtype) * jnp.conj(lam0),
+                f0(kind), f0(tq), f0(cq), f0(slot),
+                (ct_r * grad).astype(x.dtype))
+
+    energy_slice.defvjp(fwd, bwd)
+    return energy_slice

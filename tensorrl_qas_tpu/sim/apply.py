@@ -114,7 +114,86 @@ def _apply_controlled_1q(psi, u, target, control):
     return jnp.where(active == 1, diag * psi + off * pp, psi)
 
 
-def apply_tape(psi, kind, tq, cq, angle_slot, angles, enable_2q: bool = False):
+def _xor_bit_exchange(psi, t):
+    """psi[i ^ (1 << t)] for a *runtime* bit index t, gather-free.
+
+    ``lax.switch`` over the n possible bit positions; each branch is a
+    static reshape to (..., a, 2, b) plus a flip of the length-2 axis —
+    pure strided slices, no dynamic gather.  TPU gathers of 2^n elements
+    run on the scalar core and dominated the large-n XLA path (the 20q
+    fused step spent ~99% of its time in per-gate ``jnp.take``); slices
+    are HBM-bandwidth-bound copies instead.
+    """
+    dim = psi.shape[-1]
+    n = dim.bit_length() - 1
+    lead = psi.shape[:-1]
+
+    def branch(t_static):
+        def f(p):
+            a, b = dim >> (t_static + 1), 1 << t_static
+            q = p.reshape(*lead, a, 2, b)
+            return jnp.flip(q, axis=-2).reshape(*lead, dim)
+        return f
+
+    return lax.switch(t, [branch(k) for k in range(n)], psi)
+
+
+def _apply_controlled_1q_slice(psi, u, target, control):
+    """Gather-free twin of ``_apply_controlled_1q`` (same contract).
+
+    The target-bit pairing becomes a ``lax.switch`` over static reshapes
+    (..., a, 2, b): the 2x2 mix touches contiguous slices, so the whole
+    gate is elementwise VPU work + two block copies.  The control mask
+    stays an elementwise iota predicate (runtime control bit).
+    """
+    dim = psi.shape[-1]
+    n = dim.bit_length() - 1
+    lead = psi.shape[:-1]
+
+    def branch(t_static):
+        def f(p):
+            a, b = dim >> (t_static + 1), 1 << t_static
+            q = p.reshape(*lead, a, 2, b)
+            q0 = q[..., 0, :]
+            q1 = q[..., 1, :]
+            r0 = u[0, 0] * q0 + u[0, 1] * q1
+            r1 = u[1, 0] * q0 + u[1, 1] * q1
+            return jnp.stack([r0, r1], axis=-2).reshape(*lead, dim)
+        return f
+
+    out = lax.switch(target, [branch(k) for k in range(n)], psi)
+    idx = jnp.arange(dim, dtype=jnp.int32)
+    active = jnp.where(control >= 0, (idx >> jnp.maximum(control, 0)) & 1, 1)
+    return jnp.where(active == 1, out, psi)
+
+
+def _apply_two_pauli_rot_slice(psi, kind, theta, qa, qb):
+    """Gather-free twin of ``_apply_two_pauli_rot``: the two-bit XOR flip
+    is two composed single-bit exchanges (RZZ's flip mask is 0 — plain
+    psi)."""
+    from tensorrl_qas_tpu.circuits.tape import GateKind
+
+    dtype = psi.dtype
+    dim = psi.shape[-1]
+    idx = jnp.arange(dim, dtype=jnp.int32)
+    par = ((idx >> qa) & 1) ^ ((idx >> qb) & 1)
+    sign = (1.0 - 2.0 * par).astype(dtype)
+
+    is_xx = kind == int(GateKind.RXX)
+    is_yy = kind == int(GateKind.RYY)
+    flipped = _xor_bit_exchange(_xor_bit_exchange(psi, qa), qb)
+    pp_flip = jnp.where(is_xx | is_yy, flipped, psi)
+    phase = jnp.where(is_xx, jnp.ones_like(sign),
+                      jnp.where(is_yy, -sign, sign))
+    pp = phase * pp_flip
+    half = theta * 0.5
+    c = jnp.cos(half).astype(dtype)
+    s = jnp.sin(half).astype(dtype)
+    return c * psi + jnp.array(-1j, dtype) * s * pp
+
+
+def apply_tape(psi, kind, tq, cq, angle_slot, angles, enable_2q: bool = False,
+               engine: str = "gather"):
     """Apply a padded gate tape to a statevector.
 
     Args:
@@ -125,6 +204,9 @@ def apply_tape(psi, kind, tq, cq, angle_slot, angles, enable_2q: bool = False):
       enable_2q: compile the RXX/RYY/RZZ path (SU(4) action set).  Static:
         the default scan body stays single-primitive for the CNOT+rotation
         gate set.
+      engine: 'gather' (XOR-partner ``jnp.take``, cheap to compile) or
+        'slice' (``lax.switch`` over static-axis reshapes — no dynamic
+        gather; the large-n fast path, see ``_xor_bit_exchange``).
 
     Returns the evolved statevector(s), same shape/dtype as ``psi``.
     """
@@ -133,13 +215,18 @@ def apply_tape(psi, kind, tq, cq, angle_slot, angles, enable_2q: bool = False):
 
     from tensorrl_qas_tpu.circuits.tape import GateKind
 
+    apply_1q = (_apply_controlled_1q_slice if engine == "slice"
+                else _apply_controlled_1q)
+    apply_2q = (_apply_two_pauli_rot_slice if engine == "slice"
+                else _apply_two_pauli_rot)
+
     def body(p, g):
         k, t, c, s = g
         theta = jnp.where(s >= 0, angles[jnp.maximum(s, 0)], 0.0)
         u = _gate_matrix(k, theta, dtype)
-        out = _apply_controlled_1q(p, u, t, c)
+        out = apply_1q(p, u, t, c)
         if enable_2q:
-            out2 = _apply_two_pauli_rot(p, k, theta, t, jnp.maximum(c, 0))
+            out2 = apply_2q(p, k, theta, t, jnp.maximum(c, 0))
             out = jnp.where(k >= int(GateKind.RXX), out2, out)
         return out, None
 

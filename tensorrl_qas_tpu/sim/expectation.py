@@ -140,6 +140,97 @@ def pauli_expectation(psi, weights, flip, sign_mask, iphase,
     return e
 
 
+def _xor_static_slice(psi, f: int):
+    """psi[i ^ f] for a STATIC mask f: one static-axis reversal per set
+    bit (reshape (..., a, 2, b) + flip of the 2-axis) — pure strided
+    slices, no gather.  The gather-free twin of ``jnp.take(psi, idx ^ f)``
+    for masks known at trace time (Pauli flip masks are properties of the
+    Hamiltonian, constant across a run)."""
+    dim = psi.shape[-1]
+    lead = psi.shape[:-1]
+    t = 0
+    while (1 << t) <= f:
+        if f & (1 << t):
+            a, b = dim >> (t + 1), 1 << t
+            psi = jnp.flip(psi.reshape(*lead, a, 2, b),
+                           axis=-2).reshape(*lead, dim)
+        t += 1
+    return psi
+
+
+_PLANE_CONST_MAX = 32 << 20   # host-precomputed W planes up to this size
+                              # are embedded as program constants; larger
+                              # Hamiltonians build W in-trace from iota
+                              # parities (cheap VPU work, no big constants
+                              # shipped through the compile transport)
+
+
+def h_apply_static(psi, weights, flip, sign_mask, iphase):
+    """H|psi> for a mask-form Pauli sum with STATIC (host numpy) masks.
+
+    Gather-free twin of ``adjoint.apply_pauli_sum``: terms sharing an
+    X-flip mask f are grouped (same flip-group trick as the Pallas
+    mega-kernel, ops/pallas_opt2d.py), so the cost is one static XOR
+    exchange per *group* plus one complex multiply-accumulate per group:
+
+        (H psi)[i] = sum_f W_f(i) * psi[i ^ f],
+        W_f(i)     = sum_{k: flip_k = f} w_k iphase_k (-1)^parity(i & sm_k)
+
+    W planes are host-precomputed numpy constants when small, or built
+    in-trace from iota parities when the planes would be large (spin
+    chains at 18-20q: few terms, huge D).  TPU gathers of 2^n elements
+    run on the scalar core — at 20q the gather-based path took ~36 s per
+    optimizer step; exchanges are HBM-bandwidth block copies.
+    """
+    dim = psi.shape[-1]
+    groups: dict[int, list[int]] = {}
+    for k in range(len(weights)):
+        groups.setdefault(int(flip[k]), []).append(k)
+    cdt = psi.dtype
+    rdt = jnp.float32 if cdt == jnp.complex64 else jnp.float64
+    acc = jnp.zeros_like(psi)
+    if len(groups) * dim * 8 <= _PLANE_CONST_MAX:
+        idx_np = np.arange(dim, dtype=np.int64)
+        for f, ks in sorted(groups.items()):
+            w = np.zeros(dim, dtype=np.complex128)
+            for k in ks:
+                signs = 1.0 - 2.0 * (
+                    np.bitwise_count(idx_np & int(sign_mask[k])) & 1)
+                w += complex(weights[k]) * complex(iphase[k]) * signs
+            wc = jnp.asarray(w.astype(
+                np.complex64 if cdt == jnp.complex64 else np.complex128))
+            acc = acc + wc * _xor_static_slice(psi, f)
+    else:
+        idx = jnp.arange(dim, dtype=jnp.int32)
+        for f, ks in sorted(groups.items()):
+            wre = jnp.zeros((dim,), rdt)
+            wim = jnp.zeros((dim,), rdt)
+            for k in ks:
+                signs = (1.0 - 2.0 * parity(idx & int(sign_mask[k]))
+                         ).astype(rdt)
+                c = complex(weights[k]) * complex(iphase[k])
+                if c.real:
+                    wre = wre + rdt(c.real) * signs
+                if c.imag:
+                    wim = wim + rdt(c.imag) * signs
+            wc = (wre + 1j * wim).astype(cdt)
+            acc = acc + wc * _xor_static_slice(psi, f)
+    return acc
+
+
+def pauli_expectation_static(psi, weights, flip, sign_mask, iphase,
+                             normalize: bool = True):
+    """``pauli_expectation`` twin for STATIC masks, gather-free.
+
+    Same Rayleigh-quotient semantics; evaluates via ``h_apply_static``
+    (O(G) exchanges instead of O(K) dynamic gathers)."""
+    h = h_apply_static(psi, weights, flip, sign_mask, iphase)
+    e = jnp.sum(jnp.real(jnp.conj(psi) * h), axis=-1)
+    if normalize:
+        e = e / jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2, axis=-1)
+    return e
+
+
 def dense_expectation(psi, hmat):
     """<psi|H|psi> against a dense little-endian matrix (parity oracle)."""
     return jnp.real(jnp.einsum("...i,ij,...j->...", jnp.conj(psi), hmat, psi))
