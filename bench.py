@@ -50,6 +50,7 @@ GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
 SIZES = os.environ.get("BENCH_SIZES", "8,10,12,14")
 NOISY = int(os.environ.get("BENCH_NOISY", "1"))  # add a noisy 8q row
+SU4 = int(os.environ.get("BENCH_SU4", "1"))      # add an su4 8q row
 # Whole-bench wall budget (seconds).  When it runs out, remaining rows are
 # skipped and whatever completed is emitted — a partial JSON beats the
 # rc=124 nothing that round 3 recorded.  The driver's timeout is unknown;
@@ -88,7 +89,7 @@ ROWS = {
 }
 
 
-def bench_size(n_qubits: int, noisy: bool = False):
+def bench_size(n_qubits: int, noisy: bool = False, su4: bool = False):
     import jax
 
     from tensorrl_qas_tpu.agents.dqn import make_agent
@@ -106,6 +107,14 @@ def bench_size(n_qubits: int, noisy: bool = False):
     env_cfg = EnvConfig.from_conf(
         conf, tn_placement="fixed", seed=0,
         noise_mode="depolarizing" if noisy else None)
+    if su4:
+        # the reference's VQE_qulacs_su4 action set (RXX/RYY/RZZ), which
+        # it shipped but never wired into training — first-class here
+        import dataclasses as _dc
+
+        env_cfg = _dc.replace(env_cfg, gate_set="su4")
+        # the agent sizes its network off the conf's gate_set too
+        conf["env"]["gate_set"] = "su4"
     venv = VectorCircuitEnv(env_cfg, n_envs=n_envs)
     # safety: if the Pallas mega-kernel fails to compile on this platform,
     # fall back to the XLA path rather than failing the bench
@@ -151,7 +160,7 @@ def bench_size(n_qubits: int, noisy: bool = False):
     warmup_s = time.time() - t0
 
     timed = max(4, int(TIMED_ITERS * iter_scale))
-    tag = f"{n_qubits}q{'+depol' if noisy else ''}"
+    tag = f"{n_qubits}q{'+depol' if noisy else ''}{'+su4' if su4 else ''}"
     n_reps = repeats_for(n_qubits)
     reps = []
     for r in range(n_reps):
@@ -248,6 +257,12 @@ def main() -> int:
             results["8q_depol"] = bench_size(8, noisy=True)
         except Exception as exc:  # noqa: BLE001
             print(f"# noisy bench failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    if SU4 and _remaining() > 120:
+        try:
+            results["8q_su4"] = bench_size(8, su4=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# su4 bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
     if 8 not in results:
         return 1

@@ -96,6 +96,17 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         except Exception:  # noqa: BLE001
             pass
         plat = plat.split(",")[0].strip() or "auto"
+        if plat == "cpu":
+            # XLA:CPU's AOT executable serialization is self-incompatible
+            # on this host: an entry written by one process fails the
+            # loader's target-feature check (``+prefer-no-gather``/
+            # ``+prefer-no-scatter`` are stamped as target features but
+            # never reported as host features) in the NEXT process, with
+            # "could lead to SIGILL" warnings (round-3 bench tail).  The
+            # CPU path is only a fallback/test tier here — skip the
+            # persistent cache rather than risk executing mismatched AOT
+            # code.  Opt back in explicitly via TRLQAS_CACHE_DIR.
+            return None
         path = os.path.join(
             os.path.expanduser("~"), ".cache", "trlqas_xla",
             f"{plat}-{_host_fingerprint()}")
