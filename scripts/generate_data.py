@@ -54,6 +54,9 @@ def main() -> int:
     p.add_argument("--basis", choices=["cnot", "su4"], default="cnot",
                    help="warm-start gate basis: 3 CNOTs/brick vs "
                         "RXX/RYY/RZZ (the reference driver's SU4 flag)")
+    p.add_argument("--pickle", action="store_true",
+                   help="also emit the reference's .p pickle twin "
+                        "(making_molecules.py:138-140 dumps both)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -115,6 +118,17 @@ def main() -> int:
         else:
             save_problem_npz(str(npz_path), paulis, weights)
         print(f"wrote {npz_path}")
+    if args.pickle:
+        from tensorrl_qas_tpu.problems.hamiltonians import save_problem_pickle
+
+        p_path = str(npz_path)[:-len(".npz")] + ".p"
+        kw = {}
+        if args.from_npz and "eigvals" in raw.files:
+            kw["eigvals"] = np.real(np.asarray(raw["eigvals"]))
+        elif args.qubits > 13:
+            kw["eigvals"] = [e_min, e_max]  # DMRG extremal pair from above
+        save_problem_pickle(p_path, paulis, weights, **kw)
+        print(f"wrote {p_path}")
 
     res = build_warmstart(paulis, weights, chi=args.tn_bond,
                           n_layers=args.layers, maxiter=args.maxiter,

@@ -139,6 +139,39 @@ def save_problem_npz(path: str, paulis, weights, energy_shift: float = 0.0,
     np.savez(path, **out)
 
 
+def save_problem_pickle(path: str, paulis, weights,
+                        energy_shift: float = 0.0,
+                        with_dense: bool = True, eigvals=None) -> None:
+    """Emit the reference's ``.p`` pickle twin of the .npz schema.
+
+    The reference's ``making_molecules.py:105-140`` dumps the SAME
+    ``complete_dict`` both ways — ``pickle.dump`` to ``<stem>.p`` and
+    ``np.savez`` to ``<stem>.npz`` — with keys ``hamiltonian`` (dense, in
+    its kron order, char 0 = MSB), ``eigvals`` (real parts), ``weights``,
+    ``paulis`` and ``energy_shift``.  Dense/eigvals follow the same
+    feasibility rules as :func:`save_problem_npz`.
+    """
+    import pickle
+
+    n = len(paulis[0])
+    out = {
+        "weights": [float(w) for w in np.asarray(weights, dtype=np.float64)],
+        "paulis": [str(p) for p in paulis],
+        "energy_shift": energy_shift,
+    }
+    if eigvals is not None:
+        out["eigvals"] = np.asarray(eigvals, dtype=np.float64)
+    else:
+        ps = PauliSum.from_strings(paulis, weights, n_qubits=n)
+        dense_le = ps.to_dense()
+        out["eigvals"] = np.linalg.eigvalsh(dense_le)
+        if with_dense:
+            perm = bit_reversal_permutation(n)
+            out["hamiltonian"] = dense_le[np.ix_(perm, perm)]
+    with open(path, "wb") as fh:
+        pickle.dump(out, fh, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 def pauli_decompose(dense_le: np.ndarray, tol: float = 1e-8):
     """Exact Pauli-basis decomposition of a little-endian Hermitian matrix.
 
@@ -190,12 +223,39 @@ def problem_npz_name(ham_type: str, n_qubits: int, geometry: str = "",
     return f"mol_data/{ham_type}_{n_qubits}q_geom_{geom}_{mapping}.npz"
 
 
+class _PickleProblemDict:
+    """NpzFile-shaped view over the reference's ``.p`` complete_dict."""
+
+    def __init__(self, d: dict):
+        self._d = d
+
+    @property
+    def files(self):
+        return list(self._d.keys())
+
+    def __getitem__(self, key):
+        return np.asarray(self._d[key])
+
+
 def load_problem(ham_type: str, n_qubits: int, geometry: str = "",
                  mapping: str = "jordan_wigner",
                  keep_dense: bool = True) -> Problem:
-    """Load a problem from the .npz corpus (reference schema)."""
-    path = resolve_data_file(problem_npz_name(ham_type, n_qubits, geometry, mapping))
-    raw = np.load(path, allow_pickle=True)
+    """Load a problem from the .npz corpus (reference schema).
+
+    Falls back to the reference's ``.p`` pickle twin when no ``.npz``
+    exists (``making_molecules.py:138-140`` dumps both from the same
+    dict, so a pickle-only artifact is drop-in loadable).
+    """
+    relpath = problem_npz_name(ham_type, n_qubits, geometry, mapping)
+    try:
+        path = resolve_data_file(relpath)
+        raw = np.load(path, allow_pickle=True)
+    except FileNotFoundError:
+        import pickle
+
+        path = resolve_data_file(relpath[:-len(".npz")] + ".p")
+        with open(path, "rb") as fh:
+            raw = _PickleProblemDict(pickle.load(fh))
     dense = None
     if keep_dense and "hamiltonian" in raw.files and n_qubits <= 12:
         perm = bit_reversal_permutation(n_qubits)

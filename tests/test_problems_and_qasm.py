@@ -55,6 +55,38 @@ def test_heisenberg_generator_matches_reference_npz(tmp_path):
     assert set(raw2.files) >= {"hamiltonian", "eigvals", "weights", "paulis"}
 
 
+def test_pickle_twin_roundtrip(tmp_path, monkeypatch):
+    """The .p pickle twin (making_molecules.py:138-140) is drop-in loadable.
+
+    The reference dumps the same complete_dict to both ``<stem>.p`` and
+    ``<stem>.npz``; a pickle-only artifact must load identically to the
+    npz through ``load_problem``.
+    """
+    import pickle
+
+    import tensorrl_qas_tpu.problems.hamiltonians as H
+
+    paulis, weights = heisenberg_hamiltonian(5)
+    (tmp_path / "mol_data").mkdir()
+    H.save_problem_pickle(str(tmp_path / "mol_data" / "heisenberg_5q.p"),
+                          paulis, weights)
+    with open(tmp_path / "mol_data" / "heisenberg_5q.p", "rb") as fh:
+        d = pickle.load(fh)
+    # exact reference schema keys and plain-python value kinds
+    assert set(d) == {"hamiltonian", "eigvals", "weights", "paulis",
+                      "energy_shift"}
+    assert isinstance(d["weights"], list) and isinstance(d["paulis"], list)
+    # pickle-only directory: no .npz twin anywhere on the search path
+    monkeypatch.setattr(H, "DATA_SEARCH_PATHS", [str(tmp_path)])
+    prob = H.load_problem("heisenberg", 5)
+    assert prob.min_eig == pytest.approx(-8.7115450, abs=1e-5)
+    ps = PauliSum.from_strings(paulis, weights, 5)
+    perm = bit_reversal_permutation(5)
+    np.testing.assert_allclose(ps.to_dense(),
+                               np.asarray(d["hamiltonian"])[np.ix_(perm, perm)],
+                               atol=1e-12)
+
+
 @pytest.mark.skipif(not _have("mol_data/heisenberg_5q.npz"),
                     reason="reference data not available")
 def test_load_problem_heisenberg():
