@@ -188,6 +188,7 @@ class AngleOptimizer:
         self._fused_batch_jit = jax.jit(jax.vmap(
             self._fused_step, in_axes=(None, 0, 0, 0, 0, 0, 0)))
         self._host_key = jax.random.PRNGKey(0xC0B)
+        self._host_body_jit = None   # host-stepped Adam body (large-n path)
         self._csim = None
         self._csim_tried = False
         self._adjoint_slice = None   # built lazily per problem (slice engine)
@@ -476,10 +477,85 @@ class AngleOptimizer:
                 tuple(np.asarray(a)[None] for a in new_tape_arrays),
                 np.asarray(map_idx)[None], key[None])
             return x_opt[0], float(e_new[0]), nfev
+        if self._host_stepped(psi0):
+            return self._fused_step_hostloop(
+                psi0, old_tape_arrays, x0, active, new_tape_arrays,
+                jnp.asarray(map_idx), key)
         x_opt, e_new = self._fused_jit(psi0, old_tape_arrays, x0, active,
                                        new_tape_arrays,
                                        jnp.asarray(map_idx), key)
         return np.asarray(x_opt), float(e_new), self.iters * self.n_starts
+
+    # -- host-stepped fused step (very large n) -----------------------------
+
+    def _host_stepped(self, psi0) -> bool:
+        """Whole-optimization-in-one-XLA-program is the default, but at
+        n >= 19 the program (iters-scan over a custom-VJP adjoint under a
+        starts-vmap) overflows the TPU AOT compiler itself — at n=20 the
+        remote tpu_compile_helper is SIGKILLed while the plain forward
+        energy compiles fine.  Above the threshold the Adam recursion runs
+        on host around a jitted value+grad body (one adjoint fwd+bwd, the
+        minimal compile unit); per-iteration dispatch (~30 ms tunnel RTT)
+        is noise against multi-second 20q device work.
+        ``TRLQAS_FUSED_HOST=1/0`` forces it on/off."""
+        env = os.environ.get("TRLQAS_FUSED_HOST")
+        if env in ("0", "1"):
+            return env == "1"
+        dim = psi0[0].size if isinstance(psi0, tuple) else psi0.size
+        return dim >= (1 << 19)
+
+    def _fused_step_hostloop(self, psi0, old_arrs, x0, active, new_arrs,
+                             map_idx, key):
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        if self._host_body_jit is None:
+            def body(psi0_, kind, tq, cq, slot, active_, xs, m, v,
+                     best_x, best_e, keys, i):
+                def one(x, m_, v_, bx, be, k):
+                    e, g = jax.value_and_grad(
+                        lambda xx, kk: self._energy_for_grad(
+                            psi0_, kind, tq, cq, slot, xx, kk)
+                    )(x, jax.random.fold_in(k, i))
+                    g = g * active_
+                    better = e < be
+                    bx = jnp.where(better, x, bx)
+                    be = jnp.where(better, e, be)
+                    m2 = b1 * m_ + (1 - b1) * g
+                    v2 = b2 * v_ + (1 - b2) * g * g
+                    t = i.astype(x.dtype) + 1.0
+                    mhat = m2 / (1 - b1 ** t)
+                    vhat = v2 / (1 - b2 ** t)
+                    x2 = x - self.lr * mhat / (jnp.sqrt(vhat) + eps)
+                    return x2, m2, v2, bx, be
+
+                return jax.vmap(one)(xs, m, v, best_x, best_e, keys)
+
+            self._host_body_jit = jax.jit(body)
+
+        # mirror the fused path's RNG stream exactly (_fused_step splits
+        # key -> (ko, ke); _optimize_multistart splits ko -> (kn, ko2))
+        ko, ke = jax.random.split(key)
+        kn, ko2 = jax.random.split(ko)
+        xs = self._make_starts(x0, active, kn)
+        keys = jax.random.split(ko2, self.n_starts)
+        m = jnp.zeros_like(xs)
+        v = jnp.zeros_like(xs)
+        best_x = xs
+        best_e = jnp.full((self.n_starts,), jnp.inf, x0.dtype)
+        # iters+1 body calls: the extra one evaluates (and best-tracks)
+        # the post-final-update iterate, matching _adam_single's trailing
+        # e_final probe at fold_in(key, iters); its x update is discarded.
+        for i in range(self.iters + 1):
+            xs, m, v, best_x, best_e = self._host_body_jit(
+                psi0, *old_arrs, active, xs, m, v, best_x, best_e, keys,
+                jnp.asarray(i, jnp.int32))
+        best_e = np.asarray(best_e)
+        x_opt = np.asarray(best_x)[int(np.argmin(best_e))]
+        x_new = np.where(np.asarray(map_idx) >= 0,
+                         x_opt[np.maximum(np.asarray(map_idx), 0)],
+                         0.0).astype(x_opt.dtype)
+        e_new = float(self._energy_jit(psi0, *new_arrs,
+                                       jnp.asarray(x_new), ke))
+        return x_opt, e_new, self.iters * self.n_starts
 
     # -- pallas fast path: whole multi-env multi-start optimization with
     # O(iters) kernel launches instead of O(iters * gates) -----------------

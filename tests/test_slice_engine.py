@@ -206,3 +206,37 @@ def test_optimizer_slice_engine_descends(monkeypatch):
     # test_adjoint_slice_value_and_grad instead — 12 Adam iterations at
     # lr=0.1 amplify 1e-7 engine rounding differences chaotically.
     assert abs(outs["slice"][2] - outs["gather"][2]) < 1e-4
+
+def test_fused_step_hostloop_matches_fused(monkeypatch):
+    """TRLQAS_FUSED_HOST=1 (the n>=19 large-n path: host-stepped Adam
+    around a jitted value+grad body) descends and lands within numerical
+    noise of the fully fused scan program on the same inputs."""
+    from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+
+    n = 6
+    ps = _ham(n)
+    tape = random_tape(n, 24, seed=7)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    x0 = tape.x0().astype(np.float32)
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    pa = ps.device_arrays(jnp.complex64)
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("TRLQAS_FUSED_HOST", mode)
+        opt = AngleOptimizer(pa, iters=10, n_starts=2,
+                             dtype=jnp.complex64, use_pallas=False)
+        e0 = opt.energy(psi0_ri, arrs, x0)
+        x1, e1, nfev = opt.fused_step(psi0_ri, arrs, x0, tape.n_rots,
+                                      arrs, map_idx, key)
+        outs[mode] = (e0, x1, e1, nfev)
+    assert outs["1"][2] < outs["1"][0]           # descended
+    assert outs["1"][3] == outs["0"][3]          # same reported budget
+    # same RNG stream (kn/ko split + per-start fold_in(i)) and the same
+    # Adam recursion -> the trajectories only differ by the fused path's
+    # trailing e_final probe; energies agree tightly
+    assert abs(outs["1"][2] - outs["0"][2]) < 2e-4
