@@ -243,7 +243,7 @@ def main() -> int:
     apply_platform_env()
     enable_compilation_cache()
     results = {}
-    for n in sizes:
+    for i, n in enumerate(sizes):
         try:
             results[n] = bench_size(n)
         except _BudgetExceeded as exc:
@@ -252,17 +252,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"# {n}q bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        if i == 0 and SU4 and _remaining() > 120:
+            # su4 rides right after the first (8q) row: it is the newest
+            # row with no driver-captured datum yet, so it must not sit
+            # behind the expensive 14-16q rows when the wall budget bites
+            try:
+                results["8q_su4"] = bench_size(8, su4=True)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# su4 bench failed: {type(exc).__name__}: {exc}",
+                      file=sys.stderr)
     if NOISY and _remaining() > 120:
         try:
             results["8q_depol"] = bench_size(8, noisy=True)
         except Exception as exc:  # noqa: BLE001
             print(f"# noisy bench failed: {type(exc).__name__}: {exc}",
-                  file=sys.stderr)
-    if SU4 and _remaining() > 120:
-        try:
-            results["8q_su4"] = bench_size(8, su4=True)
-        except Exception as exc:  # noqa: BLE001
-            print(f"# su4 bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
     if 8 not in results:
         return 1
