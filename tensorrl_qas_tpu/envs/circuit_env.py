@@ -269,8 +269,6 @@ class CircuitEnv:
                 raise NotImplementedError(
                     "su4 gate set is noiseless-only (as in the reference, "
                     "whose su4 noise variants were never wired)")
-            if cfg.mesh_shape:
-                raise NotImplementedError("su4 gate set is single-chip only")
         elif cfg.use_pallas == "on":
             use_pallas = True
         elif cfg.use_pallas == "off":
@@ -311,7 +309,8 @@ class CircuitEnv:
                 n_starts=cfg.n_starts, lr=cfg.adam_lr,
                 restart_scale=cfg.restart_scale, dtype=self.dtype,
                 noise_mode=cfg.noise_mode, noise_p1=noise_p1,
-                noise_p2=noise_p2, noise_resample=cfg.noise_resample)
+                noise_p2=noise_p2, noise_resample=cfg.noise_resample,
+                enable_2q=cfg.gate_set == "su4")
         else:
             self.mesh = None
             self.optimizer = AngleOptimizer(

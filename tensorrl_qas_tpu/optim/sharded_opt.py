@@ -48,14 +48,16 @@ class ShardedAngleOptimizer:
                  n_starts: int = 8, lr: float = 0.1,
                  restart_scale: float = 0.1, dtype=jnp.complex64,
                  noise_mode: str = "none", noise_p1: float = 0.01,
-                 noise_p2: float = 0.05, noise_resample: str = "iter"):
+                 noise_p2: float = 0.05, noise_resample: str = "iter",
+                 enable_2q: bool = False):
         if noise_mode not in ("none", "depolarizing"):
             raise NotImplementedError(
                 f"sharded path supports noise_mode none/depolarizing, "
                 f"got {noise_mode!r} (shot noise is single-chip only)")
         self.mesh = mesh
         self.n = n_qubits
-        self.sim = ShardedSimulator(mesh, n_qubits, pauli, dtype=dtype)
+        self.sim = ShardedSimulator(mesh, n_qubits, pauli, dtype=dtype,
+                                    enable_2q=enable_2q)
         self.iters = iters
         self.noise_mode = noise_mode
         self.noise_p1 = float(noise_p1)

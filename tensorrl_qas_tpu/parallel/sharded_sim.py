@@ -52,10 +52,14 @@ class ShardedSimulator:
     """
 
     def __init__(self, mesh: Mesh, n_qubits: int, pauli: PauliSum,
-                 dtype=jnp.complex64):
+                 dtype=jnp.complex64, enable_2q: bool = False):
         self.mesh = mesh
         self.n = n_qubits
         self.dtype = dtype
+        # RXX/RYY/RZZ (the su4 action set) on the mesh: static — when off
+        # (cnot gate set) the 2q-rotation exchanges are never traced and
+        # per-gate collective cost is unchanged
+        self.enable_2q = enable_2q
         self.D = mesh.shape["amp"]
         self.d = int(np.log2(self.D))
         assert 2 ** self.d == self.D, "amp axis size must be a power of 2"
@@ -101,6 +105,45 @@ class ShardedSimulator:
 
     # -- gate application -------------------------------------------------------
 
+    def _flip_vals(self, arr, q, r, local_idx):
+        """Values at each amplitude's q-flipped partner index.
+
+        Local bit: an in-block take; device bit: the static pairwise
+        ppermute for that bit (same machinery as the 1q partner exchange;
+        composing two calls yields double-flip partners, q then q').
+        """
+        q_loc = jnp.minimum(q, self.nloc - 1)
+        v_local = jnp.take(arr, local_idx ^ (1 << q_loc), axis=-1)
+        if self.d > 0:
+            ex = jnp.stack([lax.ppermute(arr, "amp", self._perms[k])
+                            for k in range(self.d)])
+            k_sel = jnp.clip(q - self.nloc, 0, self.d - 1)
+            v_remote = jnp.take(ex, k_sel, axis=0)
+            return jnp.where(q < self.nloc, v_local, v_remote)
+        return v_local
+
+    def _bit(self, q, r, local_idx):
+        """Bit q of each amplitude's global index (local or device bit)."""
+        b_local = (local_idx >> jnp.minimum(q, self.nloc - 1)) & 1
+        b_remote = (r >> jnp.clip(q - self.nloc, 0,
+                                  max(self.d - 1, 0))) & 1
+        return jnp.where(q < self.nloc, b_local, b_remote)
+
+    def _pauli_pair(self, block, kind, t, c, r, local_idx):
+        """(P_t P_c) block for kind in {RXX, RYY, RZZ} (flip-and-phase:
+        XX flips both bits, YY flips both with -(-1)^parity, ZZ phases
+        by (-1)^parity — the single-chip conventions of
+        sim/apply.py:_apply_two_pauli_rot)."""
+        c_q = jnp.maximum(c, 0)
+        v2 = self._flip_vals(self._flip_vals(block, t, r, local_idx),
+                             c_q, r, local_idx)
+        par = self._bit(t, r, local_idx) ^ self._bit(c_q, r, local_idx)
+        sign = (1.0 - 2.0 * par).astype(self.dtype)
+        is_xx = kind == int(GateKind.RXX)
+        is_yy = kind == int(GateKind.RYY)
+        return jnp.where(is_xx, v2,
+                         jnp.where(is_yy, -sign * v2, sign * block))
+
     def _apply_one_gate(self, block, kind, t, c, theta, r, local_idx):
         """block: (B?, L) local amplitudes on device r."""
         u = _gate_matrix(kind, theta, self.dtype)
@@ -139,7 +182,17 @@ class ShardedSimulator:
 
         diag = jnp.where(b == 0, u[0, 0], u[1, 1])
         off = jnp.where(b == 0, u[0, 1], u[1, 0])
-        return jnp.where(act == 1, diag * block + off * partner, block)
+        out = jnp.where(act == 1, diag * block + off * partner, block)
+        if not self.enable_2q:
+            return out
+        # exp(-i theta (P_t P_c)/2): cos/sin combination with the
+        # Pauli-pair action (selected out for 1q kinds)
+        pp = self._pauli_pair(block, kind, t, c, r, local_idx)
+        half = theta * 0.5
+        out2 = (jnp.cos(half).astype(self.dtype) * block
+                + jnp.array(-1j, self.dtype)
+                * jnp.sin(half).astype(self.dtype) * pp)
+        return jnp.where(kind >= int(GateKind.RXX), out2, out)
 
     def _build_apply(self):
         def apply_local(psi_block, kind, tq, cq, angle_slot, angles):
@@ -290,6 +343,11 @@ class ShardedSimulator:
                     pg = self._apply_one_gate(p, pk, t, jnp.full_like(c, -1),
                                               jnp.zeros((), rdt), r,
                                               local_idx)
+                    if self.enable_2q:
+                        # 2q rotation generator = the Pauli pair P_t P_c
+                        # (same exp(-i theta G/2) convention, G^2 = I)
+                        pg2 = self._pauli_pair(p, k, t, c, r, local_idx)
+                        pg = jnp.where(k >= int(GateKind.RXX), pg2, pg)
                     gval = jnp.imag(jnp.sum(jnp.conj(l) * pg)).astype(rdt)
                     grad = grad.at[jnp.maximum(s, 0)].add(
                         jnp.where(s >= 0, gval, 0.0))
