@@ -262,9 +262,18 @@ class CircuitEnv:
         # Pallas fused kernels: O(iters) launches instead of
         # O(iters x gates); TPU-only (CPU runs the XLA path), n <= 10
         if cfg.gate_set == "su4":
-            # RXX/RYY/RZZ are outside the kernel gate set
-            # (ops/pallas_apply.py:PALLAS_KINDS_OK); XLA path only
-            use_pallas = False
+            # RXX/RYY/RZZ ride the COMPOSED Pallas kernel (double
+            # XOR-partner rolls, ops/pallas_apply.py; the single-launch
+            # mega-kernels stay 1q+CX — AngleOptimizer._pick_engine
+            # forces 'composed' when enable_2q)
+            if cfg.use_pallas == "on":
+                use_pallas = True
+            elif cfg.use_pallas == "off":
+                use_pallas = False
+            else:
+                from tensorrl_qas_tpu.ops.pallas_apply import PALLAS_MAX_DIM
+                use_pallas = (jax.default_backend() not in ("cpu",)
+                              and (1 << n) <= PALLAS_MAX_DIM)
             if cfg.noise_mode != "none":
                 raise NotImplementedError(
                     "su4 gate set is noiseless-only (as in the reference, "

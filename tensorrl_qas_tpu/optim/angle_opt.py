@@ -158,8 +158,8 @@ class AngleOptimizer:
         self.noise_p2 = noise_p2
         self.n_shots = n_shots
         self.n_traj = n_traj
-        self.enable_2q = enable_2q    # RXX/RYY/RZZ (su4 gate set; XLA only)
-        self.use_pallas = use_pallas and not enable_2q
+        self.enable_2q = enable_2q    # RXX/RYY/RZZ (su4 gate set)
+        self.use_pallas = use_pallas
         # depolarizing sampling cadence on the pallas paths:
         # 'iter' (default) re-draws the trajectory every Adam iteration
         # (reference semantics: qulacs re-samples per COBYLA nfev) and runs
@@ -276,6 +276,11 @@ class AngleOptimizer:
 
     def _pick_engine(self) -> str:
         """Select the mega-kernel variant for the current problem."""
+        if self.enable_2q:
+            # RXX/RYY/RZZ exist only in the composed kernel's gate
+            # dispatch (double XOR-partner rolls, ops/pallas_apply.py);
+            # the single-launch mega-kernels stay 1q+CX
+            return "composed"
         if self.pallas_engine == "v1":
             return "v1" if self._mega_ready() else "composed"
         if self.pallas_engine == "v2":

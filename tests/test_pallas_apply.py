@@ -156,3 +156,55 @@ def test_mega_kernel_matches_xla_path():
     # mega energy must equal the XLA energy AT the mega solution
     e_check = opt_x.energy(psi0_ri, jarrs, x2)
     assert e2 == pytest.approx(e_check, abs=1e-3)
+
+
+def test_su4_composed_fused_step_matches_xla():
+    """enable_2q + use_pallas (round 4): the su4 gate set rides the
+    composed kernel's double-roll RXX/RYY/RZZ dispatch inside the fused
+    step; _pick_engine must force 'composed' (mega-kernels are 1q+CX)
+    and the landing energy must match the XLA path's."""
+    from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+    from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+    from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+    from tensorrl_qas_tpu.sim.expectation import PauliSum
+
+    n = 4
+    rng = np.random.default_rng(2)
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    tape = GateTape(n, 10, 10)
+    for _ in range(10):
+        kind = rng.choice([GateKind.RX, GateKind.RY, GateKind.RZ,
+                           GateKind.RXX, GateKind.RYY, GateKind.RZZ])
+        ang = float(rng.uniform(-np.pi, np.pi))
+        if kind >= GateKind.RXX:
+            c, t = rng.choice(n, size=2, replace=False)
+            tape.add(GateKind(kind), target=int(t), control=int(c), angle=ang)
+        else:
+            tape.add(GateKind(kind), target=int(rng.integers(n)), angle=ang)
+    arrs = tuple(map(jnp.asarray, tape.arrays()))
+    x0 = tape.x0().astype(np.float32)
+    map_idx = np.arange(len(x0), dtype=np.int32)
+    psi0 = zero_state(n, jnp.complex64)
+    psi0_ri = (np.real(psi0).astype(np.float32),
+               np.imag(psi0).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    opt_x = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                           n_starts=3, dtype=jnp.complex64, enable_2q=True)
+    opt_p = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=25,
+                           n_starts=3, dtype=jnp.complex64, enable_2q=True,
+                           use_pallas=True)
+    opt_p.pallas_interpret = True
+    opt_p._pauli_obj = ps
+    assert opt_p._pick_engine() == "composed"
+
+    x1, e1, _ = opt_x.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs,
+                                 map_idx, key)
+    x2, e2, _ = opt_p.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs,
+                                 map_idx, key)
+    assert e2 < 0  # descended into the spectrum
+    assert e2 == pytest.approx(e1, abs=0.15)
+    e_check = opt_x.energy(psi0_ri, arrs,
+                           np.where(map_idx >= 0, x2[map_idx], 0.0))
+    assert e2 == pytest.approx(e_check, abs=1e-4)
