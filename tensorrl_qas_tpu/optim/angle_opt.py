@@ -774,9 +774,12 @@ class AngleOptimizer:
                     x_opt = e_new = None
                     for ci in range(n_chunks):
                         sc = starts[:, ci * s_cap:(ci + 1) * s_cap]
-                        seeds_c = (kernel_seeds + ci
-                                   if kernel_seeds is not None else None)
-                        x_c, e_c = call2d(sc, seeds_c)
+                        # same per-env noise seeds for every chunk: chunks
+                        # differ only in their start slices, so cross-chunk
+                        # winner selection compares energies under one
+                        # noise realization — exactly the unchunked
+                        # per-env-stream semantics (ADVICE round 4)
+                        x_c, e_c = call2d(sc, kernel_seeds)
                         if x_opt is None:
                             x_opt, e_new = x_c, e_c
                         else:

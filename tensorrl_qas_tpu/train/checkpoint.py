@@ -37,8 +37,16 @@ def save_checkpoint(path_prefix: str, agent, env=None) -> None:
 def load_checkpoint(path_prefix: str, agent, env=None,
                     restore_replay: bool = True) -> None:
     with open(path_prefix + "_agent.msgpack", "rb") as f:
-        target = agent.state_dict()
-        restored = flax.serialization.from_bytes(target, f.read())
+        raw = flax.serialization.msgpack_restore(f.read())
+    # Restore into the structure of a fresh state_dict, but tolerate older
+    # checkpoints that predate later-added keys (e.g. pre-round-4 payloads
+    # have no 'rng_state'): from_bytes against the full target would raise
+    # a key-mismatch ValueError, so drop absent keys from the target first
+    # and let load_state_dict's own d.get() defaults cover them.
+    target = agent.state_dict()
+    for k in [k for k in target if k not in raw]:
+        target.pop(k)
+    restored = flax.serialization.from_state_dict(target, raw)
     agent.load_state_dict(restored)
     if restore_replay and os.path.exists(path_prefix + "_replay.npz"):
         data = np.load(path_prefix + "_replay.npz", allow_pickle=True)

@@ -106,6 +106,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "gate list (e.g. a structure_search champion) to "
                         "seed the replay buffer with (DQfD-style)")
     p.add_argument("--demo_copies", type=int, default=20)
+    p.add_argument("--num_layers", type=int, default=0,
+                   help="override [env] num_layers (episode gate budget; "
+                        "shorter budgets at large n give faster episodes "
+                        "and denser learning signal; 0 = use config)")
+    p.add_argument("--eps_decay", type=float, default=0.0,
+                   help="override [agent] epsilon_decay — needed when a "
+                        "wall-bounded window is much shorter than the "
+                        "reference's 10k-episode schedule, so the anneal "
+                        "actually completes inside the window (0 = config)")
+    p.add_argument("--eps_min", type=float, default=-1.0,
+                   help="override [agent] epsilon_min (<0 = use config)")
     return p
 
 
@@ -138,6 +149,12 @@ def main(argv=None) -> int:
         conf["non_local_opt"]["global_iters"] = args.global_iters
     if args.n_starts:
         conf["env"]["n_starts"] = args.n_starts
+    if args.num_layers:
+        conf["env"]["num_layers"] = args.num_layers
+    if args.eps_decay:
+        conf["agent"]["epsilon_decay"] = args.eps_decay
+    if args.eps_min >= 0.0:
+        conf["agent"]["epsilon_min"] = args.eps_min
     env_cfg = EnvConfig.from_conf(conf, tn_placement=tn_placement,
                                   noise_mode=noise_mode, seed=args.seed,
                                   optim_alg=args.optim)

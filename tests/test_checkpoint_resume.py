@@ -143,3 +143,29 @@ def test_per_priorities_roundtrip(tmp_path):
     np.testing.assert_allclose(mem2.priorities[:10], mem.priorities[:10])
     idx, w = mem2.sample_indices(4)
     assert len(idx) == 4 and np.all(np.asarray(w) > 0)
+
+
+def test_load_pre_round4_agent_checkpoint(tmp_path):
+    """Pre-round-4 agent checkpoints lack 'rng_state' in the serialized
+    state_dict; loading one must warm-start cleanly instead of raising the
+    flax key-mismatch ValueError (ADVICE round 4, checkpoint.py:41)."""
+    import flax.serialization
+
+    prefix = str(tmp_path / "old")
+    conf, env, agent, saver = _make(tmp_path / "a")
+    agent.epsilon = 0.42
+    old = agent.state_dict()
+    old.pop("rng_state")                      # what round-3 payloads look like
+    import os
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(prefix + "_agent.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(old))
+    np.savez_compressed(prefix + "_replay.npz", **agent.memory.state_dict())
+
+    conf2, env2, agent2, saver2 = _make(tmp_path / "b")
+    load_checkpoint(prefix, agent2, env2)     # must not raise
+    assert agent2.epsilon == 0.42
+    import jax
+    for a, b in zip(jax.tree.leaves(agent.params),
+                    jax.tree.leaves(agent2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
