@@ -48,7 +48,7 @@ def repeats_for(n_qubits: int) -> int:
     return 3 if n_qubits <= 12 else 1
 GLOBAL_ITERS = int(os.environ.get("BENCH_GLOBAL_ITERS", "100"))
 FILL_TARGET = os.environ.get("BENCH_FILL")  # override buffer fill for smoke
-SIZES = os.environ.get("BENCH_SIZES", "8,10,12,14")
+SIZES = os.environ.get("BENCH_SIZES", "8,10,12,14,16")
 NOISY = int(os.environ.get("BENCH_NOISY", "1"))  # add a noisy 8q row
 SU4 = int(os.environ.get("BENCH_SU4", "1"))      # add an su4 8q row
 # Whole-bench wall budget (seconds).  When it runs out, remaining rows are
@@ -276,12 +276,16 @@ def main() -> int:
                          "BASELINE_MEASURED.json")
     if os.path.exists(mpath):
         with open(mpath) as f:
-            measured = {int(k): v["steps_per_sec"]
+            measured = {(int(k) if k.isdigit() else k): v["steps_per_sec"]
                         for k, v in json.load(f).items()}
 
     def base_for(n):
-        if isinstance(n, int) and n in measured:
-            return measured[n], "measured"
+        # results keys: int sizes for cnot rows, '8q_depol' / '8q_su4' for
+        # the mode rows — the latter map onto '8_depol' / '8_su4' entries
+        # measured by bench_baseline_cobyla.py --mode depol|su4
+        key = n if isinstance(n, int) else n.replace("q_", "_")
+        if key in measured:
+            return measured[key], "measured"
         return results[n][1], "modeled"
 
     sps8, base8, med8 = results[8]

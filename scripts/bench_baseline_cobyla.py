@@ -57,7 +57,12 @@ SIZES = {
 }
 
 
-def measure(n_qubits: int, steps: int, maxiter: int, seed: int = 0):
+def measure(n_qubits: int, steps: int, maxiter: int, seed: int = 0,
+            mode: str = "plain"):
+    """mode: 'plain' (noiseless CNOT action set), 'depol' (depolarizing
+    trajectory per COBYLA evaluation — reference VQE_qulacs_noise.py:32-54
+    probabilities 0.01/0.05), or 'su4' (RXX/RYY/RZZ action set, every gate
+    parametric — the reference's vestigial VQE_qulacs_su4 shape)."""
     family, cfg_name = SIZES[n_qubits]
     conf = get_config(family, cfg_name)
     env_c, prob_c = conf["env"], conf["problem"]
@@ -82,8 +87,24 @@ def measure(n_qubits: int, steps: int, maxiter: int, seed: int = 0):
     tape = GateTape(n, steps + 1, steps + 1)
     t0 = time.time()
     total_nfev = 0
+    # reference noise probabilities (hard-coded upstream:
+    # VQE_qulacs_noise.py:32 rotation p=0.01, :45 CNOT p=0.05)
+    p1, p2 = 0.01, 0.05
+    eval_counter = [0]
     for step in range(steps):
-        if step % 3 == 0:
+        if mode == "su4":
+            # every su4 action is a parametric gate; 2q rotations and 1q
+            # rotations alternate like the env's action mix
+            if step % 2 == 0:
+                c, t = rng.choice(n, size=2, replace=False)
+                kind = [GateKind.RXX, GateKind.RYY, GateKind.RZZ][step % 3]
+                tape.add(kind, target=int(t), control=int(c),
+                         angle=float(rng.uniform(-0.1, 0.1)))
+            else:
+                kind = [GateKind.RX, GateKind.RY, GateKind.RZ][step % 3]
+                tape.add(kind, target=int(rng.integers(n)),
+                         angle=float(rng.uniform(-0.1, 0.1)))
+        elif step % 3 == 0:
             c, t = rng.choice(n, size=2, replace=False)
             tape.add_cx(int(c), int(t))
         else:
@@ -96,6 +117,12 @@ def measure(n_qubits: int, steps: int, maxiter: int, seed: int = 0):
         def cost(x):
             xp = np.zeros(tape.rot_capacity)
             xp[: len(x)] = x
+            if mode == "depol":
+                # fresh trajectory per evaluation — qulacs samples its
+                # probabilistic gates anew on every update_quantum_state
+                eval_counter[0] += 1
+                return eng.tape_energy_depolarizing(
+                    psi0, *arrs, xp, p1, p2, seed * 1000003 + eval_counter[0])
             return eng.tape_energy(psi0, *arrs, xp)
 
         res = minimize(cost, x0, method="COBYLA",
@@ -106,7 +133,7 @@ def measure(n_qubits: int, steps: int, maxiter: int, seed: int = 0):
     dt = time.time() - t0
     return {"n_qubits": n, "steps": steps, "wall_s": dt,
             "steps_per_sec": steps / dt, "nfev_total": total_nfev,
-            "maxiter": maxiter, "engine": "csim+scipy-COBYLA",
+            "maxiter": maxiter, "mode": mode, "engine": "csim+scipy-COBYLA",
             "note": "conservative: Pauli-sum eval vs reference dense matvec"}
 
 
@@ -116,16 +143,22 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--maxiter", type=int, default=1000,
                    help="reference config global_iters (all 37 cfgs: 1000)")
+    p.add_argument("--mode", default="plain", choices=["plain", "depol",
+                                                       "su4"],
+                   help="depol: depolarizing trajectory per COBYLA eval "
+                        "(key '<n>_depol'); su4: RXX/RYY/RZZ action set "
+                        "(key '<n>_su4')")
     p.add_argument("--out", default="BASELINE_MEASURED.json")
     args = p.parse_args()
     if not available():
         print("csim unavailable (no g++); cannot measure")
         return 1
+    suffix = "" if args.mode == "plain" else f"_{args.mode}"
     out = {}
     for s in (int(x) for x in args.sizes.split(",")):
-        r = measure(s, args.steps, args.maxiter)
+        r = measure(s, args.steps, args.maxiter, mode=args.mode)
         print(json.dumps(r), flush=True)
-        out[str(s)] = r
+        out[str(s) + suffix] = r
     path = pathlib.Path(args.out)
     existing = json.loads(path.read_text()) if path.exists() else {}
     existing.update(out)

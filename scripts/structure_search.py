@@ -140,6 +140,11 @@ def main():
                    help="after this many generations without improvement, "
                         "re-seed the population from the champion under "
                         "heavy mutation (escapes collapsed diversity)")
+    p.add_argument("--init", default="",
+                   help="comma-separated champion JSON files (earlier --out "
+                        "artifacts); their gate lists seed the initial "
+                        "population (plus mutated copies) so long searches "
+                        "can continue across bounded windows")
     p.add_argument("--mask_legal", type=int, default=0,
                    help="restrict the search to sequences playable under "
                         "the env's illegal-action masking (champions can "
@@ -181,6 +186,34 @@ def main():
     pop = [fresh_random() for _ in range(args.pop)]
     n_elite = max(2, int(args.pop * args.elite_frac))
     n_fresh = max(1, int(args.pop * args.fresh_frac))
+    if args.init:
+        seeds = []
+        for path in args.init.split(","):
+            spec = json.load(open(path.strip()))
+            gates = spec["gates"] if isinstance(spec, dict) else spec
+            seeds.append([tuple(g) for g in gates])
+        # champions + mutated copies fill the front of the population;
+        # fresh randoms keep the tail for diversity
+        k = 0
+        for s in seeds:
+            if len(s) <= args.max_gates and k < args.pop:
+                pop[k] = list(s)
+                k += 1
+        while k < min(args.pop - n_fresh, len(seeds) * 6):
+            parent = seeds[k % len(seeds)]
+            if len(parent) > args.max_gates:
+                break
+            for _ in range(50):
+                s = mutate(rng, list(parent), n, args.min_gates,
+                           args.max_gates)
+                if legal is None or legal(s):
+                    pop[k] = s
+                    break
+            else:
+                pop[k] = list(parent)
+            k += 1
+        print(f"population seeded with {len(seeds)} champions "
+              f"(+{max(0, k - len(seeds))} mutants)", flush=True)
     best = (np.inf, None)
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
@@ -211,6 +244,13 @@ def main():
             print(f"gen {gen}: best err {best[0]:.3e}  "
                   f"depth {d} cx {cx} rot {rot}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            if args.out:
+                # incremental champion write: wall-bounded windows (timeout
+                # kills) must not lose the search result
+                with open(args.out, "w") as f:
+                    json.dump({"config": args.config, "best_err": best[0],
+                               "gates": [list(g) for g in best[1]],
+                               "gen": gen, "partial": True}, f)
         else:
             stall += 1
         if stall >= args.stall_restart:

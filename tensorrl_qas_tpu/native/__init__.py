@@ -55,6 +55,15 @@ def _load():
                                      ctypes.c_int32, u32p, u32p, i32p, f64p,
                                      f64p]
     lib.csim_tape_energy.restype = ctypes.c_double
+    lib.csim_apply_tape_depolarizing.argtypes = [
+        ctypes.c_int32, i32p, i32p, i32p, i32p, ctypes.c_int32, f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_uint64, f64p]
+    lib.csim_apply_tape_depolarizing.restype = None
+    lib.csim_tape_energy_depolarizing.argtypes = [
+        ctypes.c_int32, i32p, i32p, i32p, i32p, ctypes.c_int32, f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_uint64, f64p,
+        ctypes.c_int32, u32p, u32p, i32p, f64p, f64p]
+    lib.csim_tape_energy_depolarizing.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -126,6 +135,47 @@ class CsimEngine:
             self.n, _ptr(kind, ctypes.c_int32), _ptr(tq, ctypes.c_int32),
             _ptr(cq, ctypes.c_int32), _ptr(slot, ctypes.c_int32), len(kind),
             _ptr(angles, ctypes.c_double), _ptr(p0, ctypes.c_double),
+            len(self.w), _ptr(self.flip, ctypes.c_uint32),
+            _ptr(self.sign, ctypes.c_uint32), _ptr(self.ny, ctypes.c_int32),
+            _ptr(self.w, ctypes.c_double),
+            _ptr(self._scratch, ctypes.c_double)))
+
+    def apply_tape_depolarizing(self, psi: np.ndarray, kind, tq, cq, slot,
+                                angles, p1: float, p2: float,
+                                seed: int) -> np.ndarray:
+        """One depolarizing trajectory (reference VQE_qulacs_noise.py
+        channel placement; see csim.cpp for the sampling convention)."""
+        state = np.ascontiguousarray(
+            psi.astype(np.complex128).view(np.float64))
+        kind = np.ascontiguousarray(kind, dtype=np.int32)
+        tq = np.ascontiguousarray(tq, dtype=np.int32)
+        cq = np.ascontiguousarray(cq, dtype=np.int32)
+        slot = np.ascontiguousarray(slot, dtype=np.int32)
+        angles = np.ascontiguousarray(angles, dtype=np.float64)
+        self._lib.csim_apply_tape_depolarizing(
+            self.n, _ptr(kind, ctypes.c_int32), _ptr(tq, ctypes.c_int32),
+            _ptr(cq, ctypes.c_int32), _ptr(slot, ctypes.c_int32),
+            len(kind), _ptr(angles, ctypes.c_double),
+            float(p1), float(p2), int(seed) & (2**64 - 1),
+            _ptr(state, ctypes.c_double))
+        return state.view(np.complex128)
+
+    def tape_energy_depolarizing(self, psi0: np.ndarray, kind, tq, cq, slot,
+                                 angles, p1: float, p2: float,
+                                 seed: int) -> float:
+        """Fused noisy-trajectory apply+expectation (the reference's noisy
+        COBYLA inner loop: a fresh trajectory per evaluation)."""
+        p0 = np.ascontiguousarray(psi0.astype(np.complex128).view(np.float64))
+        kind = np.ascontiguousarray(kind, dtype=np.int32)
+        tq = np.ascontiguousarray(tq, dtype=np.int32)
+        cq = np.ascontiguousarray(cq, dtype=np.int32)
+        slot = np.ascontiguousarray(slot, dtype=np.int32)
+        angles = np.ascontiguousarray(angles, dtype=np.float64)
+        return float(self._lib.csim_tape_energy_depolarizing(
+            self.n, _ptr(kind, ctypes.c_int32), _ptr(tq, ctypes.c_int32),
+            _ptr(cq, ctypes.c_int32), _ptr(slot, ctypes.c_int32), len(kind),
+            _ptr(angles, ctypes.c_double), float(p1), float(p2),
+            int(seed) & (2**64 - 1), _ptr(p0, ctypes.c_double),
             len(self.w), _ptr(self.flip, ctypes.c_uint32),
             _ptr(self.sign, ctypes.c_uint32), _ptr(self.ny, ctypes.c_int32),
             _ptr(self.w, ctypes.c_double),

@@ -93,6 +93,31 @@ inline void apply_two_pauli_rot(cplx* psi, int64_t dim, int32_t kind,
   }
 }
 
+// splitmix64: tiny deterministic PRNG for trajectory sampling (seeded per
+// energy evaluation; every qulacs evaluation samples noise afresh, so the
+// COBYLA inner loop sees a new trajectory per iterate).
+struct Rng64 {
+  uint64_t s;
+  explicit Rng64(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    uint64_t z = (s += 0x9e3779b97f4a7c15ull);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  }
+  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+  int64_t randint(int64_t lo, int64_t hi) {  // [lo, hi)
+    return lo + int64_t(next() % uint64_t(hi - lo));
+  }
+};
+
+inline void apply_pauli(cplx* psi, int64_t dim, int code, int32_t q) {
+  // code: 0 = identity, 1/2/3 = X/Y/Z (qulacs DepolarizingNoise table)
+  if (code == 0) return;
+  const int32_t kind = code == 1 ? X : code == 2 ? Y : Z;
+  apply_controlled_1q(psi, dim, gate_matrix(kind, 0.0), q, -1);
+}
+
 inline int parity64(uint64_t v) {
 #if defined(__GNUC__)
   return __builtin_parityll(v);
@@ -123,6 +148,42 @@ void csim_apply_tape(int32_t n_qubits, const int32_t* kind,
     }
     const U2 u = gate_matrix(kind[g], theta);
     apply_controlled_1q(psi, dim, u, tq[g], cq[g]);
+  }
+}
+
+// Apply a gate tape with depolarizing-trajectory noise, mirroring the
+// reference's qulacs semantics (``VQE_qulacs_noise.py:32-54``): after every
+// rotation, with probability p1 a uniform random Pauli on its target; after
+// every CNOT, with probability p2 one of the 15 non-identity Pauli pairs on
+// (control, target) (TwoQubitDepolarizingNoise convention).  Same channel
+// layout as the JAX twin sim/noise.py:apply_tape_depolarizing.
+void csim_apply_tape_depolarizing(int32_t n_qubits, const int32_t* kind,
+                                  const int32_t* tq, const int32_t* cq,
+                                  const int32_t* slot, int32_t n_gates,
+                                  const double* angles, double p1, double p2,
+                                  uint64_t seed, double* state) {
+  cplx* psi = reinterpret_cast<cplx*>(state);
+  const int64_t dim = int64_t(1) << n_qubits;
+  Rng64 rng(seed);
+  for (int32_t g = 0; g < n_gates; ++g) {
+    if (kind[g] == NONE) continue;
+    const double theta = slot[g] >= 0 ? angles[slot[g]] : 0.0;
+    if (kind[g] >= RXX && kind[g] <= RZZ) {
+      apply_two_pauli_rot(psi, dim, kind[g], theta, tq[g], cq[g]);
+      continue;
+    }
+    const U2 u = gate_matrix(kind[g], theta);
+    apply_controlled_1q(psi, dim, u, tq[g], cq[g]);
+    if (kind[g] >= RX && kind[g] <= RZ) {
+      if (rng.uniform() < p1)
+        apply_pauli(psi, dim, int(rng.randint(1, 4)), tq[g]);
+    } else if (kind[g] == CX && cq[g] >= 0) {
+      if (rng.uniform() < p2) {
+        const int j = int(rng.randint(1, 16));
+        apply_pauli(psi, dim, j / 4, cq[g]);
+        apply_pauli(psi, dim, j % 4, tq[g]);
+      }
+    }
   }
 }
 
@@ -161,6 +222,24 @@ double csim_tape_energy(int32_t n_qubits, const int32_t* kind,
   const int64_t dim = int64_t(1) << n_qubits;
   std::memcpy(scratch, psi0, sizeof(double) * 2 * dim);
   csim_apply_tape(n_qubits, kind, tq, cq, slot, n_gates, angles, scratch);
+  return csim_pauli_expectation(n_qubits, scratch, n_terms, flip, sign_mask,
+                                ny_mod4, weights);
+}
+
+// Noisy twin of csim_tape_energy: one depolarizing trajectory per call
+// (the reference's COBYLA optimizes a freshly-sampled noisy energy each
+// iterate — seed should change per evaluation for protocol parity).
+double csim_tape_energy_depolarizing(
+    int32_t n_qubits, const int32_t* kind, const int32_t* tq,
+    const int32_t* cq, const int32_t* slot, int32_t n_gates,
+    const double* angles, double p1, double p2, uint64_t seed,
+    const double* psi0, int32_t n_terms, const uint32_t* flip,
+    const uint32_t* sign_mask, const int32_t* ny_mod4,
+    const double* weights, double* scratch) {
+  const int64_t dim = int64_t(1) << n_qubits;
+  std::memcpy(scratch, psi0, sizeof(double) * 2 * dim);
+  csim_apply_tape_depolarizing(n_qubits, kind, tq, cq, slot, n_gates,
+                               angles, p1, p2, seed, scratch);
   return csim_pauli_expectation(n_qubits, scratch, n_terms, flip, sign_mask,
                                 ny_mod4, weights);
 }

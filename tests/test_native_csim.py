@@ -106,3 +106,51 @@ def test_csim_su4_two_qubit_rotations():
                      jnp.asarray(tape.x0()), enable_2q=True)
     e_x = float(pauli_expectation(psi, *ps.device_arrays(jnp.complex128)))
     assert abs(e_c - e_x) < 1e-10
+
+
+def test_csim_depolarizing_zero_prob_is_noiseless():
+    paulis, weights = heisenberg_hamiltonian(5)
+    ps = PauliSum.from_strings(paulis, weights, 5)
+    eng = native.CsimEngine(ps)
+    tape = random_tape(5, 20, seed=3)
+    psi0 = np.zeros(32, complex)
+    psi0[0] = 1.0
+    e0 = eng.tape_energy(psi0, *tape.arrays(), tape.x0())
+    ed = eng.tape_energy_depolarizing(psi0, *tape.arrays(), tape.x0(),
+                                      0.0, 0.0, 99)
+    assert abs(e0 - ed) < 1e-12
+
+
+def test_csim_depolarizing_trajectory_mean_matches_jax():
+    """Statistical parity of the C++ depolarizing channel with the JAX
+    twin (sim/noise.py): trajectory-mean energies agree within combined
+    standard error at exaggerated noise probabilities."""
+    import jax
+    from tensorrl_qas_tpu.sim.noise import apply_tape_depolarizing
+
+    n, N = 5, 1500
+    paulis, weights = heisenberg_hamiltonian(n)
+    ps = PauliSum.from_strings(paulis, weights, n)
+    eng = native.CsimEngine(ps)
+    tape = GateTape(n, 8, 8)
+    tape.add_cx(0, 1)
+    tape.add(GateKind.RY, target=1, angle=0.3)
+    tape.add_cx(1, 2)
+    tape.add(GateKind.RX, target=3, angle=-0.7)
+    tape.add(GateKind.RZ, target=0, angle=0.2)
+    tape.add_cx(3, 4)
+    psi0 = np.zeros(2 ** n, complex)
+    psi0[0] = 1.0
+    p1, p2 = 0.3, 0.6
+    es = np.asarray([eng.tape_energy_depolarizing(
+        psi0, *tape.arrays(), tape.x0(), p1, p2, 1000 + i)
+        for i in range(N)])
+    arrs = [jnp.asarray(a) for a in tape.arrays()]
+    w, flip, sm, ip = ps.device_arrays(jnp.complex128)
+    def traj(key):
+        psi = apply_tape_depolarizing(jnp.asarray(psi0), *arrs,
+                                      jnp.asarray(tape.x0()), key, p1, p2)
+        return jnp.real(pauli_expectation(psi, w, flip, sm, ip))
+    ej = jax.vmap(traj)(jax.random.split(jax.random.PRNGKey(7), N))
+    se = es.std() / np.sqrt(N) + float(jnp.std(ej)) / np.sqrt(N)
+    assert abs(es.mean() - float(jnp.mean(ej))) < 5 * se
