@@ -128,7 +128,7 @@ def test_csim_depolarizing_trajectory_mean_matches_jax():
     import jax
     from tensorrl_qas_tpu.sim.noise import apply_tape_depolarizing
 
-    n, N = 5, 1500
+    n, N = 5, 700
     paulis, weights = heisenberg_hamiltonian(n)
     ps = PauliSum.from_strings(paulis, weights, n)
     eng = native.CsimEngine(ps)
