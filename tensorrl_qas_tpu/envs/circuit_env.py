@@ -87,6 +87,14 @@ class EnvConfig:
     err_mitig: int = 0
     topology: str = "all_to_all"
     gate_set: str = "cnot"                # 'cnot' | 'su4' (RXX/RYY/RZZ)
+    # block-coordinate trainable mode (beyond the reference): with
+    # tn_placement='in_state', re-optimize the embedded TN block's angles
+    # only every K-th step; in between, the prefix is frozen into a cached
+    # statevector and the device call carries only the RL correction tape
+    # (prefix gates masked to padding — same compiled kernel, the padding
+    # class skips their work).  0/1 = off (reference joint optimization
+    # every step).  Noiseless only: gate noise must fire on prefix gates.
+    block_coord_k: int = 0
     # per-step angle optimization
     optim_method: str | None = "scipy_each_step"
     optim_alg: str = "adam"               # 'adam' | 'cobyla' (reference: COBYLA)
@@ -149,6 +157,7 @@ class EnvConfig:
             err_mitig=int(env.get("err_mitig", 0)),
             topology=env.get("topology", "all_to_all"),
             gate_set=env.get("gate_set", "cnot"),
+            block_coord_k=int(env.get("block_coord_k", 0)),
             optim_method=nlo.get("method", None),
             optim_alg=alg,
             global_iters=int(nlo.get("global_iters", 100)),
@@ -336,6 +345,17 @@ class CircuitEnv:
             self.optimizer._pauli_obj = self.problem.pauli
         self._psi0_pair = None   # cached (re, im): stable identity for
         #                          the sharded optimizer's placement cache
+        # block-coordinate trainable mode state (see EnvConfig.block_coord_k)
+        if cfg.block_coord_k > 1 and cfg.noise_mode != "none":
+            raise ValueError(
+                "block_coord_k requires noise_mode='none': depolarizing/"
+                "shot noise must fire on the embedded prefix gates, which "
+                "the frozen-prefix transform masks out")
+        self._bc_frozen = False
+        self._bc_n_gates = 0
+        self._bc_n_rots = 0
+        self._bc_cache = None
+        self._bc_apply = None
 
         self.curriculum_dict = {
             cfg.ham_type: make_curriculum(cfg.curriculum_type,
@@ -377,6 +397,59 @@ class CircuitEnv:
                 np.ascontiguousarray(np.imag(psi), dtype=rdt))
         return self._psi0_pair
 
+    # -- block-coordinate trainable mode (EnvConfig.block_coord_k) ---------
+
+    def _bc_active(self) -> bool:
+        return (self.cfg.block_coord_k > 1
+                and self.cfg.tn_placement == "in_state"
+                and self.tn_tape is not None and self.layer_offset > 0)
+
+    def _bc_mask_prefix(self, arrs):
+        kind, tq, cq, slot = arrs
+        kind = np.asarray(kind).copy()
+        kind[: self._bc_n_gates] = 0          # GateKind.NONE
+        return (kind, tq, cq, slot)
+
+    def step_psi0(self):
+        """psi0 for THIS step's device call: the warm-start state (fixed
+        mode / joint steps) or the cached frozen-prefix state (frozen
+        block-coordinate steps)."""
+        if not self._bc_frozen:
+            return self._psi0()
+        if self._bc_cache is None:
+            self._bc_cache = self._bc_prefix_psi()
+        return self._bc_cache
+
+    def _bc_prefix_psi(self):
+        """Apply the embedded prefix (current angles) to |0...0> once; the
+        result replaces psi0 on frozen steps.  Refreshed whenever a joint
+        step may have moved the prefix angles."""
+        from tensorrl_qas_tpu.sim.apply import apply_tape, zero_state
+
+        tape = self._tape(self.state)
+        kind = np.asarray(tape.kind).copy()
+        kind[self._bc_n_gates:] = 0           # embedded prefix only
+        rdt = np.float32 if self.dtype == jnp.complex64 else np.float64
+        if self._bc_apply is None:
+            engine = "slice" if self.num_qubits >= 13 else "gather"
+            enable_2q = self.cfg.gate_set == "su4"
+
+            @jax.jit
+            def _apply(kind, tq, cq, slot, x):
+                psi = apply_tape(
+                    jnp.asarray(zero_state(self.num_qubits, self.dtype)),
+                    kind, tq, cq, slot, x, enable_2q=enable_2q,
+                    engine=engine)
+                return jnp.real(psi), jnp.imag(psi)
+
+            self._bc_apply = _apply
+        re, im = self._bc_apply(jnp.asarray(kind), jnp.asarray(tape.tq),
+                                jnp.asarray(tape.cq),
+                                jnp.asarray(tape.angle_slot),
+                                jnp.asarray(tape.x0().astype(rdt)))
+        return (np.ascontiguousarray(np.asarray(re), dtype=rdt),
+                np.ascontiguousarray(np.asarray(im), dtype=rdt))
+
     def _tape(self, state: StateTensor):
         return state.to_tape(self.tape_capacity, self.rot_capacity)
 
@@ -417,6 +490,16 @@ class CircuitEnv:
             self.layer_offset = embed_tape(
                 self.state, self.tn_tape,
                 zero_params=bool(cfg.zero_param_init))
+
+        self._bc_frozen = False
+        self._bc_cache = None
+        if self._bc_active():
+            # the freshly-reset state holds exactly the embedded block, and
+            # to_tape is layer-major, so the block is a strict tape prefix
+            # with rotation slots [0, n_rots_e)
+            ptape = self._tape(self.state)
+            self._bc_n_gates = ptape.n_gates
+            self._bc_n_rots = ptape.n_rots
 
         if cfg.rand_halt:
             # episode-length statistics matched to the reference's
@@ -487,8 +570,20 @@ class CircuitEnv:
         new_tape = self._tape(next_state)
         map_idx = self._angle_map(old_state, next_state)
         self._pending = (old_state, next_state, old_tape)
-        return (old_tape.arrays(), old_tape.x0(), old_tape.n_rots,
-                new_tape.arrays(), map_idx)
+        old_arrs, new_arrs = old_tape.arrays(), new_tape.arrays()
+        self._bc_frozen = (self._bc_active()
+                           and self.step_counter % self.cfg.block_coord_k
+                           != 0)
+        if self._bc_frozen:
+            # frozen step: mask the embedded prefix to padding (the kernel's
+            # padding class skips its work) — the device call then starts
+            # from the cached prefix statevector (see step_psi0) and
+            # optimizes only the RL correction angles.  Same tape shapes,
+            # same compiled kernel.
+            old_arrs = self._bc_mask_prefix(old_arrs)
+            new_arrs = self._bc_mask_prefix(new_arrs)
+        return (old_arrs, old_tape.x0(), old_tape.n_rots,
+                new_arrs, map_idx)
 
     def step_finish(self, x_opt, energy, nfev, train_flag: bool = True):
         """Apply device results; compute reward/done/curriculum."""
@@ -496,7 +591,17 @@ class CircuitEnv:
         old_state, next_state, old_tape = self._pending
         self._pending = None
         if x_opt is not None:
-            opt_angles = np.asarray(x_opt)[: old_tape.n_rots]
+            opt_angles = np.asarray(x_opt)[: old_tape.n_rots].copy()
+            if self._bc_frozen:
+                # frozen step: the masked prefix's angles saw no gradient
+                # but multi-start perturbation still moved the returned
+                # vector — restore the (untouched) embedded-block angles
+                opt_angles[: self._bc_n_rots] = \
+                    old_tape.x0()[: self._bc_n_rots]
+            elif self._bc_active():
+                # joint step moved the prefix angles: drop the cached
+                # frozen-prefix state
+                self._bc_cache = None
             old_state.set_rot_angles(opt_angles)
             next_state.thetas = old_state.thetas
             self.opt_ang_save = np.asarray(opt_angles)
@@ -538,7 +643,7 @@ class CircuitEnv:
             # energy in ONE device round trip (reference ordering kept —
             # see module docstring)
             x_opt, energy, nfev = self.optimizer.fused_step(
-                self._psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
+                self.step_psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
                 n_rots_old, tuple(map(jnp.asarray, new_arrs)), map_idx,
                 self._next_key())
             return self.step_finish(x_opt, energy, nfev, train_flag)
@@ -546,13 +651,13 @@ class CircuitEnv:
         if cfg.optim_method in ("scipy_each_step",):
             # host COBYLA parity path
             x_opt, _, nfev = self.optimizer.optimize(
-                self._psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
+                self.step_psi0(), tuple(map(jnp.asarray, old_arrs)), x0,
                 n_rots_old, self._next_key())
             # energy of the post-action circuit with remapped angles
             x_new = np.where(map_idx >= 0,
                              np.asarray(x_opt)[np.maximum(map_idx, 0)], 0.0)
             energy = self.optimizer.energy(
-                self._psi0(), tuple(map(jnp.asarray, new_arrs)), x_new,
+                self.step_psi0(), tuple(map(jnp.asarray, new_arrs)), x_new,
                 key=self._next_key())
             return self.step_finish(x_opt, energy, nfev, train_flag)
 

@@ -81,8 +81,17 @@ class VectorCircuitEnv:
                            for k in range(4))
         map_idx_b = np.stack([p[4] for p in payloads])
 
+        if self.envs[0]._bc_active():
+            # block-coordinate trainable mode: every env carries its own
+            # psi0 for this step (frozen-prefix state on frozen steps, the
+            # plain warm start on joint steps) — batched (B, D) planes
+            pairs = [env.step_psi0() for env in self.envs]
+            psi0 = (np.stack([p[0] for p in pairs]),
+                    np.stack([p[1] for p in pairs]))
+        else:
+            psi0 = self.envs[0]._psi0()
         x_opt_b, e_new_b, nfev = self.optimizer.fused_step_batch(
-            self.envs[0]._psi0(), old_arrs_b, x0_b, n_active_b, new_arrs_b,
+            psi0, old_arrs_b, x0_b, n_active_b, new_arrs_b,
             map_idx_b, self._keys())
 
         obs, rewards, dones, infos = [], [], [], []

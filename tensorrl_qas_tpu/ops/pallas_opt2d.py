@@ -160,7 +160,7 @@ def pauli_flip_groups(pauli, dtype=np.float32):
 def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                  flips: tuple, b1: float = 0.9, b2: float = 0.999,
                  eps: float = 1e-8, noise=None, stream_w: bool = False,
-                 dispatch: int = 2):
+                 dispatch: int = 2, per_env_psi0: bool = False):
     """``noise=(p1, p2)``: in-kernel depolarizing trajectories (same
     machinery as ops/pallas_opt.py v1 — TPU PRNG re-draws per Adam
     iteration, error Paulis ride the roll-based gate apply).
@@ -614,8 +614,11 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
 
         old_tape = (okind, otq, ocq, oslot)
         new_tape = (nkind, ntq, ncq, nslot)
-        re0 = tile_s(p0re_ref[:])                            # (SR, C)
-        im0 = tile_s(p0im_ref[:])
+        # per_env_psi0: psi0 arrives as a per-env (1, R, C) block (block-
+        # coordinate trainable mode hands every env its own frozen-prefix
+        # state); otherwise one (R, C) plane shared across the env grid
+        re0 = tile_s(p0re_ref[0] if per_env_psi0 else p0re_ref[:])  # (SR, C)
+        im0 = tile_s(p0im_ref[0] if per_env_psi0 else p0im_ref[:])
 
         x_s[:] = starts_ref[0]
         m_s[:] = jnp.zeros_like(m_s)
@@ -711,8 +714,26 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     # probing harnesses that flip TRLQAS_V2_DISPATCH between calls get a
     # fresh executable instead of a silently reused trace
     _force = os.environ.get("TRLQAS_V2_DISPATCH")
-    dispatch = ((2 if p0re.shape[0] < DISPATCH_MAX_ROWS else 1)
+    dispatch = ((2 if p0re.shape[-2] < DISPATCH_MAX_ROWS else 1)
                 if _force is None else int(_force))
+
+    per_env = np.asarray(p0re).ndim == 3
+    if per_env and starts.shape[0] > cap:
+        # per-env psi0 must be sliced alongside the env chunk (the shared
+        # _chunk_env_calls helper closes over psi0)
+        outs = []
+        for lo in range(0, starts.shape[0], cap):
+            hi = min(lo + cap, starts.shape[0])
+            outs.append(fused_adam_step_pallas2d(
+                tuple(a[lo:hi] for a in old_arrs),
+                tuple(a[lo:hi] for a in new_arrs),
+                map_idx[lo:hi], p0re[lo:hi], p0im[lo:hi], wre, wim, flips,
+                starts[lo:hi], active[lo:hi], iters=iters, lr=lr,
+                interpret=interpret, noise=noise,
+                seeds=None if seeds is None else seeds[lo:hi],
+                stream_w=stream_w, max_env_per_call=max_env_per_call))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     def call(o, nw, mi, *, starts, active, seeds):
         return _fused_adam_step_call2d(
@@ -736,9 +757,11 @@ def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                             noise=None, seeds=None, stream_w: bool = False,
                             dispatch: int = 2):
     n_env, s_batch, r = starts.shape
-    r_rows = p0re.shape[0]
+    per_env_psi0 = p0re.ndim == 3
+    r_rows = p0re.shape[-2]
     kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
-                          stream_w=stream_w, dispatch=dispatch)
+                          stream_w=stream_w, dispatch=dispatch,
+                          per_env_psi0=per_env_psi0)
     sr = s_batch * r_rows
 
     def spec(shape, mapper):
@@ -774,10 +797,12 @@ def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
         scratch.append(pltpu.VMEM((8, g_pad), jnp.float32))  # noise rows
         prefetch.append(seeds)
         n_prefetch = 11
+    p0_spec = (per_e3((1, r_rows, _C)) if per_env_psi0
+               else shared2((r_rows, _C)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_env,),
-        in_specs=[shared2((r_rows, _C)), shared2((r_rows, _C)),
+        in_specs=[p0_spec, p0_spec,
                   *w_specs,
                   per_e3((1, s_batch, r)), per_e3((1, 1, r))],
         out_specs=(spec((1, 1, r), lambda e, *_: (e, 0, 0)),

@@ -187,6 +187,10 @@ class AngleOptimizer:
         # batched fused step over a leading env-replica axis; psi0 shared
         self._fused_batch_jit = jax.jit(jax.vmap(
             self._fused_step, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+        # per-env psi0 twin (block-coordinate trainable mode: every env
+        # carries its own frozen-prefix statevector)
+        self._fused_batch_jit_ppsi = jax.jit(jax.vmap(
+            self._fused_step, in_axes=(0, 0, 0, 0, 0, 0, 0)))
         self._host_key = jax.random.PRNGKey(0xC0B)
         self._host_body_jit = None   # host-stepped Adam body (large-n path)
         self._csim = None
@@ -687,6 +691,12 @@ class AngleOptimizer:
             self.noise_mode == "depolarizing" and self.n_traj == 1)
         engine = (self._pick_engine()
                   if self.use_pallas and mega_ok else "off")
+        # per-env psi0 (block-coordinate trainable mode) is wired through
+        # the v2 kernel and the vmapped XLA path; v1 keeps its shared
+        # broadcast plane, so batched psi0 drops it to the XLA path
+        psi0_batched = np.asarray(psi0[0]).ndim == 2
+        if psi0_batched and engine == "v1":
+            engine = "off"
         kernel_noise, kernel_seeds = None, None
         if engine in ("v1", "v2") and self.noise_mode == "depolarizing":
             kq = jax.random.fold_in(keys[0] if keys.ndim > 1 else keys, 7)
@@ -741,14 +751,23 @@ class AngleOptimizer:
 
                 wre, wim, flips = self._w2d
                 r_rows = wre.shape[1]
+                # per-env psi0 (block-coordinate trainable mode): (B, D)
+                # planes reshape to (B, R, C) per-env blocks; shared psi0
+                # keeps the broadcast (R, C) plane
+                if np.asarray(re0).ndim == 2:
+                    b_env = np.asarray(re0).shape[0]
+                    re0_k = jnp.asarray(re0).reshape(b_env, r_rows, -1)
+                    im0_k = jnp.asarray(im0).reshape(b_env, r_rows, -1)
+                else:
+                    re0_k = jnp.asarray(re0).reshape(r_rows, -1)
+                    im0_k = jnp.asarray(im0).reshape(r_rows, -1)
 
                 def call2d(starts_chunk, seeds_chunk):
                     return fused_adam_step_pallas2d(
                         tuple(map(jnp.asarray, old_arrs_b)),
                         tuple(map(jnp.asarray, new_arrs_b)),
                         jnp.asarray(map_idx_b),
-                        jnp.asarray(re0).reshape(r_rows, -1),
-                        jnp.asarray(im0).reshape(r_rows, -1),
+                        re0_k, im0_k,
                         wre, wim, flips, starts_chunk, active[:, None, :],
                         iters=self.iters, lr=self.lr,
                         interpret=self.pallas_interpret,
@@ -796,12 +815,20 @@ class AngleOptimizer:
             # configurations it rejects (shot noise, n_traj > 1, starts
             # above the VMEM budget) drop to the XLA path instead of an
             # unvalidated full-state composed launch
-            x_opt, e_new = self._fused_pallas_jit(
-                psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
-                tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),
-                keys[0])
+            if psi0_batched:
+                x_opt, e_new = self._fused_batch_jit_ppsi(
+                    psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
+                    tuple(map(jnp.asarray, new_arrs_b)),
+                    jnp.asarray(map_idx_b), keys)
+            else:
+                x_opt, e_new = self._fused_pallas_jit(
+                    psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
+                    tuple(map(jnp.asarray, new_arrs_b)),
+                    jnp.asarray(map_idx_b), keys[0])
         else:
-            x_opt, e_new = self._fused_batch_jit(
+            batch_jit = (self._fused_batch_jit_ppsi if psi0_batched
+                         else self._fused_batch_jit)
+            x_opt, e_new = batch_jit(
                 psi0, tuple(map(jnp.asarray, old_arrs_b)), x0_b, active,
                 tuple(map(jnp.asarray, new_arrs_b)), jnp.asarray(map_idx_b),
                 keys)

@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "actually completes inside the window (0 = config)")
     p.add_argument("--eps_min", type=float, default=-1.0,
                    help="override [agent] epsilon_min (<0 = use config)")
+    p.add_argument("--block_coord", type=int, default=0,
+                   help="trainable (in_state) mode: re-optimize the "
+                        "embedded TN block only every K-th step; frozen "
+                        "steps carry only the RL correction tape on a "
+                        "cached prefix statevector (0 = reference joint "
+                        "optimization every step)")
     return p
 
 
@@ -155,6 +161,8 @@ def main(argv=None) -> int:
         conf["agent"]["epsilon_decay"] = args.eps_decay
     if args.eps_min >= 0.0:
         conf["agent"]["epsilon_min"] = args.eps_min
+    if args.block_coord:
+        conf["env"]["block_coord_k"] = args.block_coord
     env_cfg = EnvConfig.from_conf(conf, tn_placement=tn_placement,
                                   noise_mode=noise_mode, seed=args.seed,
                                   optim_alg=args.optim)

@@ -280,3 +280,50 @@ def test_v2_dynamic_group_path():
                              dtype=jnp.complex64)
     e_ref = opt_ref.energy(psi0_ri, jarrs, x0)
     assert e2 == pytest.approx(e_ref, abs=1e-4)
+
+
+def test_v2_per_env_psi0_matches_shared():
+    """Per-env psi0 blocks (block-coordinate trainable mode) through the
+    v2 kernel: B envs each given the SAME psi0 as a (B, D) batch must
+    reproduce the shared-plane result exactly; distinct per-env psi0
+    must match per-env XLA references."""
+    import jax
+
+    n, gates, iters, s = 7, 10, 2, 2
+    ps, opt, tape, arrs, x0, psi0_ri = _setup(n, gates, 0, iters, s, "v2")
+    assert opt._pick_engine() == "v2"
+    b = 3
+    keys = jax.random.split(jax.random.PRNGKey(5), b)
+    old_b = tuple(np.tile(a[None], (b, 1)) for a in arrs)
+    x0_b = np.tile(x0[None], (b, 1))
+    nact = np.full(b, tape.n_rots)
+    mapidx = np.tile(np.arange(len(x0), dtype=np.int32)[None], (b, 1))
+
+    # shared plane
+    x_s, e_s, _ = opt.fused_step_batch(psi0_ri, old_b, x0_b, nact, old_b,
+                                       mapidx, keys)
+    # identical psi0 rows as a per-env batch
+    psi_b = (np.tile(psi0_ri[0][None], (b, 1)),
+             np.tile(psi0_ri[1][None], (b, 1)))
+    x_p, e_p, _ = opt.fused_step_batch(psi_b, old_b, x0_b, nact, old_b,
+                                       mapidx, keys)
+    np.testing.assert_allclose(e_p, e_s, atol=1e-5)
+    np.testing.assert_allclose(x_p, x_s, atol=1e-5)
+
+    # genuinely distinct per-env psi0, n_starts=1 (start 0 is the exact
+    # warm start, no restart noise) so batched-vs-single is deterministic
+    _, opt1, _, _, _, _ = _setup(n, gates, 0, iters, 1, "v2")
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(b, 1 << n)) + 1j * rng.normal(size=(b, 1 << n))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    psi_d = (v.real.astype(np.float32), v.imag.astype(np.float32))
+    x_d, e_d, _ = opt1.fused_step_batch(psi_d, old_b, x0_b, nact, old_b,
+                                        mapidx, keys)
+    for i in range(b):
+        x_i, e_i, _ = opt1.fused_step_batch(
+            (psi_d[0][i], psi_d[1][i]),
+            tuple(a[i:i + 1] for a in old_b), x0_b[i:i + 1], nact[i:i + 1],
+            tuple(a[i:i + 1] for a in old_b), mapidx[i:i + 1],
+            keys[i:i + 1])
+        np.testing.assert_allclose(e_d[i], e_i[0], atol=1e-5)
+        np.testing.assert_allclose(x_d[i], x_i[0], atol=1e-5)
