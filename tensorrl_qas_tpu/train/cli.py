@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "actually completes inside the window (0 = config)")
     p.add_argument("--eps_min", type=float, default=-1.0,
                    help="override [agent] epsilon_min (<0 = use config)")
+    p.add_argument("--accept_err", type=float, default=0.0,
+                   help="override [env] accept_err AND the curriculum "
+                        "thresholds with one value (bounded windows at "
+                        "large n: a reachable success threshold gives the "
+                        "agent usable +5 terminal rewards; the reference's "
+                        "chemical-accuracy thresholds are unreachable "
+                        "there)")
     p.add_argument("--block_coord", type=int, default=0,
                    help="trainable (in_state) mode: re-optimize the "
                         "embedded TN block only every K-th step; frozen "
@@ -163,6 +170,9 @@ def main(argv=None) -> int:
         conf["agent"]["epsilon_min"] = args.eps_min
     if args.block_coord:
         conf["env"]["block_coord_k"] = args.block_coord
+    if args.accept_err:
+        conf["env"]["accept_err"] = args.accept_err
+        conf["env"]["thresholds"] = [args.accept_err]
     env_cfg = EnvConfig.from_conf(conf, tn_placement=tn_placement,
                                   noise_mode=noise_mode, seed=args.seed,
                                   optim_alg=args.optim)

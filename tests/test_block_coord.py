@@ -81,6 +81,7 @@ def test_prefix_angles_frozen_then_updated():
     del prefix0
 
 
+@pytest.mark.slow
 def test_block_coord_descends_like_joint():
     """Same action script, with and without block_coord: both must track
     the same energy scale (block-coordinate is an optimization schedule,

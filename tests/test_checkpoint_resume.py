@@ -42,6 +42,7 @@ def _episode_fingerprint(saver, episode):
             list(rec["reward"]))
 
 
+@pytest.mark.slow
 def test_resume_bit_identical_trajectory(tmp_path):
     prefix = str(tmp_path / "ckpt")
 

@@ -54,6 +54,7 @@ def test_each_kind_matches_xla(kind):
                                atol=2e-6)
 
 
+@pytest.mark.slow
 def test_padded_tape_gradients_match_xla():
     """Adjoint gradients through the specialized backward dispatch equal
     jax.grad of the XLA path on a mixed, half-padded tape."""

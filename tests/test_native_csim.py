@@ -31,7 +31,9 @@ def random_tape(n, n_gates, seed):
     return tape
 
 
-@pytest.mark.parametrize("n", [3, 6, 9])
+@pytest.mark.parametrize("n", [pytest.param(3, marks=pytest.mark.slow),
+                               6,
+                               pytest.param(9, marks=pytest.mark.slow)])
 def test_csim_matches_jax(n):
     paulis, weights = heisenberg_hamiltonian(n)
     ps = PauliSum.from_strings(paulis, weights, n)

@@ -96,6 +96,7 @@ def _kraus_expectation(tape, ps, p1, p2, n):
     return float(np.real(np.trace(h @ rho)))
 
 
+@pytest.mark.slow
 def test_extended_tape_matches_xla_apply():
     """Kernel on the extended tape == XLA apply_tape on the same arrays
     (deterministic: one fixed noise draw)."""

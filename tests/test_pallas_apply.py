@@ -28,7 +28,10 @@ def random_tape(n, n_gates, seed):
     return tape
 
 
-@pytest.mark.parametrize("n,gates", [(3, 16), (5, 40), (8, 64)])
+@pytest.mark.parametrize("n,gates", [
+    pytest.param(3, 16, marks=pytest.mark.slow),
+    (5, 40),
+    pytest.param(8, 64, marks=pytest.mark.slow)])
 def test_pallas_matches_xla(n, gates):
     tape = random_tape(n, gates, seed=n)
     arrs = tuple(map(jnp.asarray, tape.arrays()))
@@ -76,6 +79,7 @@ def test_pallas_gradients_flow():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_fused_step_matches_xla_path():
     """The optimizer's pallas fused step must agree with the XLA fused step
     (same seeds => same starts => same trajectory)."""
@@ -158,6 +162,7 @@ def test_mega_kernel_matches_xla_path():
     assert e2 == pytest.approx(e_check, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_su4_composed_fused_step_matches_xla():
     """enable_2q + use_pallas (round 4): the su4 gate set rides the
     composed kernel's double-roll RXX/RYY/RZZ dispatch inside the fused

@@ -282,6 +282,7 @@ def test_v2_dynamic_group_path():
     assert e2 == pytest.approx(e_ref, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_v2_per_env_psi0_matches_shared():
     """Per-env psi0 blocks (block-coordinate trainable mode) through the
     v2 kernel: B envs each given the SAME psi0 as a (B, D) batch must

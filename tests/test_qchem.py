@@ -98,6 +98,7 @@ def _compare_with_vendored(mh, relpath, tol):
     assert err < tol, f"max coefficient err {err}"
 
 
+@pytest.mark.slow
 def test_beh2_6q_matches_upstream():
     symbols, coords = parse_geometry(
         "H 0.000 0.000 -1.330; Be 0.000 0.000 0.000; H 0.000 0.000 1.330")
@@ -120,6 +121,7 @@ def test_h2o_8q_matches_upstream():
         "_H_1.477_-0.273_0.000_jordan_wigner.npz", 1e-6)
 
 
+@pytest.mark.slow
 def test_ch2_8q_matches_upstream_exact_angle():
     """The upstream CH2 file was computed from the exact 102-degree bond
     angle; the 3-decimal geometry in the filename is rounded

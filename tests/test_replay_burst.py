@@ -28,7 +28,8 @@ def _tree_allclose(a, b, atol):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
 
 
-@pytest.mark.parametrize("k,pre_steps", [(7, 0), (6, 3)])
+@pytest.mark.parametrize("k,pre_steps", [
+    (7, 0), pytest.param(6, 3, marks=pytest.mark.slow)])
 def test_burst_matches_sequential(k, pre_steps):
     conf = small_conf("DQN_Nstep", update_target_net=3)
     a_seq = make_agent(conf, 6, 3 * 4 * 9, seed=5)

@@ -65,6 +65,7 @@ def test_sharded_noisy_energy_matches_single_chip_extension():
     assert e_sharded == pytest.approx(e_ref, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_trajectory_mean_matches_kraus():
     """Mean sharded-trajectory energy converges to the exact Kraus
     channel (5 sigma), like the single-chip tiers."""

@@ -133,6 +133,7 @@ def test_sharded_batched_dp_amp():
         assert float(e_b[i]) == pytest.approx(e_ref, abs=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_adjoint_value_and_grad_matches_autodiff():
     """value_and_grad_batched (adjoint sweep on the mesh) == autodiff
     through the batched apply, per batch row."""
@@ -204,6 +205,7 @@ def test_sharded_su4_apply_matches_single_chip(n_dev):
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_su4_vag_matches_autodiff():
     """Adjoint value-and-grad on the mesh with the su4 generator pair."""
     from tensorrl_qas_tpu.parallel.mesh import make_mesh

@@ -76,6 +76,7 @@ def _have_data(n):
 @pytest.mark.skipif(not _have_data(16),
                     reason="run scripts/generate_data.py --ham heisenberg "
                            "--qubits 16 first")
+@pytest.mark.slow
 def test_env_steps_at_16_qubits_on_mesh():
     """Always-on mid-size guard for the sharded env path (VERDICT r2): a
     16-qubit env takes real training steps through ShardedAngleOptimizer

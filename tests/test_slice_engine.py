@@ -174,6 +174,7 @@ def test_adjoint_slice_su4_grad():
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_optimizer_slice_engine_descends(monkeypatch):
     """AngleOptimizer forced onto the slice engine: fused_step descends
     and agrees with the gather engine's trajectory."""
@@ -207,6 +208,7 @@ def test_optimizer_slice_engine_descends(monkeypatch):
     # lr=0.1 amplify 1e-7 engine rounding differences chaotically.
     assert abs(outs["slice"][2] - outs["gather"][2]) < 1e-4
 
+@pytest.mark.slow
 def test_fused_step_hostloop_matches_fused(monkeypatch):
     """TRLQAS_FUSED_HOST=1 (the n>=19 large-n path: host-stepped Adam
     around a jitted value+grad body) descends and lands within numerical

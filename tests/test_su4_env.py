@@ -142,6 +142,7 @@ def test_su4_env_end_to_end():
     assert one_q_id in illegal
 
 
+@pytest.mark.slow
 def test_su4_agent_wiring():
     from tensorrl_qas_tpu.agents.dqn import make_agent
 
@@ -283,6 +284,7 @@ def test_su4_in_state_requires_su4_basis_warmstart():
     with pytest.raises(FileNotFoundError, match="su4-basis warm start"):
         CircuitEnv(cfg)
 
+@pytest.mark.slow
 def test_su4_env_on_mesh():
     """su4 gate set on a (2 amp x 4 dp) sharded mesh (round 4: the
     single-chip-only guard is lifted; ShardedSimulator carries the
