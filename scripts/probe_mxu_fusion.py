@@ -193,16 +193,17 @@ def kernel_fused1q(tq_ref, x_ref, re_ref, im_ref, ore_ref, oim_ref, *, k_gates):
 
 def run(name, kern, sr, k_gates, two_q=False, iters=200, seed=0):
     rng = np.random.default_rng(seed)
-    tq = jnp.asarray(rng.integers(0, 7, size=k_gates), jnp.int32)
-    cq0 = rng.integers(0, 7, size=k_gates)
-    cq = jnp.asarray((cq0 + 1 + rng.integers(0, 6, size=k_gates)) % 7,
-                     jnp.int32)
+    nbits = int(np.log2(C))
+    tq = jnp.asarray(rng.integers(0, nbits, size=k_gates), jnp.int32)
+    cq0 = rng.integers(0, nbits, size=k_gates)
+    cq = jnp.asarray((cq0 + 1 + rng.integers(0, nbits - 1, size=k_gates))
+                     % nbits, jnp.int32)
     x = jnp.asarray(rng.normal(size=k_gates) * 0.3, jnp.float32)
     re0 = jnp.asarray(rng.normal(size=(sr, C)), jnp.float32)
     im0 = jnp.asarray(rng.normal(size=(sr, C)), jnp.float32)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_scalar = 3 if two_q else 2          # tq[, cq], x
     interpret = jax.default_backend() == "cpu"
     f = pl.pallas_call(
@@ -210,7 +211,7 @@ def run(name, kern, sr, k_gates, two_q=False, iters=200, seed=0):
         grid=(),
         interpret=interpret,
         in_specs=[smem] * n_scalar + [vmem] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((sr, C), jnp.float32)] * 2,
         input_output_aliases={n_scalar: 0, n_scalar + 1: 1},
     )
@@ -247,6 +248,10 @@ def check_exact(sr, k_gates, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sr", default="256,1024,4096")
+    ap.add_argument("--lanes", type=int, default=128,
+                    help="lane width of the state block (128 = the 2D "
+                         "mega-kernel layout; 256 = the composed kernel's "
+                         "8q su4 (B, D) layout)")
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--out", default="")
@@ -256,6 +261,9 @@ def main():
         apply_platform_env, enable_compilation_cache)
     apply_platform_env()
     enable_compilation_cache()
+
+    global C
+    C = args.lanes
 
     results = {}
     for sr in (int(s) for s in args.sr.split(",")):
