@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "agent usable +5 terminal rewards; the reference's "
                         "chemical-accuracy thresholds are unreachable "
                         "there)")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="override [agent] batch_size (bounded sequential "
+                        "windows at large n never fill the reference's "
+                        "1000-sample minimum before the window closes)")
     p.add_argument("--block_coord", type=int, default=0,
                    help="trainable (in_state) mode: re-optimize the "
                         "embedded TN block only every K-th step; frozen "
@@ -170,6 +174,8 @@ def main(argv=None) -> int:
         conf["agent"]["epsilon_min"] = args.eps_min
     if args.block_coord:
         conf["env"]["block_coord_k"] = args.block_coord
+    if args.batch_size:
+        conf["agent"]["batch_size"] = args.batch_size
     if args.accept_err:
         conf["env"]["accept_err"] = args.accept_err
         conf["env"]["thresholds"] = [args.accept_err]
