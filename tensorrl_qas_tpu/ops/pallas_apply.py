@@ -113,6 +113,51 @@ def _xor_lane(x, t, d):
                      pltpu.roll(x, (d - s) % d, 1))
 
 
+# -- MXU permutation-matmul partner exchange (VERDICT r4 item 5) -----------
+#
+# An XOR partner over lane bits is x @ P with P[i, j] = ((i ^ j) == m) —
+# a 0/1 permutation matrix built from iotas in-kernel.  The state operand
+# uses HIGHEST (bf16x3 = exact f32 split) and the 0/1 matrix DEFAULT (one
+# pass), so the product is EXACT and the double exchange of an RXX/RYY
+# gate (4 rolls + 2 selects + an intermediate full-plane dependency)
+# collapses into ONE matmul on the otherwise-idle MXU.
+# TRLQAS_SU4_PMUL: "1" force on, "0" force off, "auto" (default) = off
+# until validated on hardware (flip to d-bounded on after the chip A/B).
+_SU4_PMUL_ENV = None
+
+
+def _su4_pmul(d: int) -> bool:
+    global _SU4_PMUL_ENV
+    if _SU4_PMUL_ENV is None:
+        import os
+
+        _SU4_PMUL_ENV = os.environ.get("TRLQAS_SU4_PMUL", "auto")
+    if _SU4_PMUL_ENV == "1":
+        return True
+    if _SU4_PMUL_ENV == "0":
+        return False
+    # auto: off until the on-chip A/B validates a win (the roll path is
+    # the hardware-proven default; interpret-mode tests pin exactness of
+    # the pmul path either way)
+    return False
+
+
+def _xor2_pair(a, b, t, c, d):
+    """(a[.., i^m], b[.., i^m]) for m = 2^t ^ 2^c via one exact
+    permutation matmul over both planes (stacked along rows)."""
+    m = (1 << jnp.maximum(t, 0)) ^ (1 << jnp.maximum(c, 0))
+    i = lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    j = lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    p = ((i ^ j) == m).astype(jnp.float32)
+    ab = jnp.concatenate([a, b], axis=0)
+    r = lax.dot_general(
+        ab, p, (((1,), (0,)), ((), ())),
+        precision=(lax.Precision.HIGHEST, lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32)
+    h = a.shape[0]
+    return r[:h], r[h:]
+
+
 def _apply_u(re, im, coeffs, t, b, act):
     """One (controlled) 1q combine on re/im planes.
 
@@ -266,12 +311,16 @@ def _apply_gate_fast(re, im, k, t, c, s, xmat, slot_row, col):
 
     def cls_r2q(_):
         # exp(-i th/2 {X@X, Y@Y}): partner = psi[i ^ 2^t ^ 2^c] via two
-        # roll pairs; YY carries the (-1)^(bit_t + bit_c) sign
+        # roll pairs (or ONE permutation matmul on the MXU — _su4_pmul);
+        # YY carries the (-1)^(bit_t + bit_c) sign
         th = _theta_sel(xmat, s, slot_row)
         cth = jnp.cos(0.5 * th)
         sth = jnp.sin(0.5 * th)
-        pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
-        pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
+        if _su4_pmul(d):
+            pre2, pim2 = _xor2_pair(re, im, t, c, d)
+        else:
+            pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
+            pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
         z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
         f = jnp.where(k == _RXX, 1.0, -z)
         return cth * re + sth * f * pim2, cth * im - sth * f * pre2
@@ -398,10 +447,14 @@ def _bwd_gate_fast(re, im, lre, lim, k, t, c, s, xmat, slot_row, col):
         th = _theta_sel(xmat, s, slot_row)
         cth = jnp.cos(0.5 * th)
         sth = jnp.sin(0.5 * th)
-        pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
-        pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
-        plre2 = _xor_lane(_xor_lane(lre, t, d), c, d)
-        plim2 = _xor_lane(_xor_lane(lim, t, d), c, d)
+        if _su4_pmul(d):
+            pre2, pim2 = _xor2_pair(re, im, t, c, d)
+            plre2, plim2 = _xor2_pair(lre, lim, t, c, d)
+        else:
+            pre2 = _xor_lane(_xor_lane(re, t, d), c, d)
+            pim2 = _xor_lane(_xor_lane(im, t, d), c, d)
+            plre2 = _xor_lane(_xor_lane(lre, t, d), c, d)
+            plim2 = _xor_lane(_xor_lane(lim, t, d), c, d)
         z = 1.0 - 2.0 * (((col >> t) ^ (col >> c)) & 1).astype(jnp.float32)
         f = jnp.where(k == _RXX, 1.0, -z)
         cg = grad(f * pre2, f * pim2)

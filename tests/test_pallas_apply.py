@@ -213,3 +213,67 @@ def test_su4_composed_fused_step_matches_xla():
     e_check = opt_x.energy(psi0_ri, arrs,
                            np.where(map_idx >= 0, x2[map_idx], 0.0))
     assert e2 == pytest.approx(e_check, abs=1e-4)
+
+
+@pytest.mark.slow
+def test_su4_pmul_exchange_matches_roll_path():
+    """TRLQAS_SU4_PMUL=1 (single permutation-matmul partner exchange for
+    RXX/RYY — VERDICT r4 item 5) must reproduce the roll path's fused-step
+    landing.  The flag is read at trace time, so each variant runs in a
+    fresh subprocess (CPU interpret mode)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import json
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from tensorrl_qas_tpu.circuits.tape import GateKind, GateTape
+from tensorrl_qas_tpu.optim.angle_opt import AngleOptimizer
+from tensorrl_qas_tpu.problems.hamiltonians import heisenberg_hamiltonian
+from tensorrl_qas_tpu.sim.apply import zero_state
+from tensorrl_qas_tpu.sim.expectation import PauliSum
+
+n = 4
+rng = np.random.default_rng(7)
+paulis, weights = heisenberg_hamiltonian(n)
+ps = PauliSum.from_strings(paulis, weights, n)
+tape = GateTape(n, 8, 8)
+for _ in range(8):
+    kind = rng.choice([GateKind.RY, GateKind.RXX, GateKind.RYY,
+                       GateKind.RZZ])
+    ang = float(rng.uniform(-np.pi, np.pi))
+    if kind >= GateKind.RXX:
+        c, t = rng.choice(n, size=2, replace=False)
+        tape.add(GateKind(kind), target=int(t), control=int(c), angle=ang)
+    else:
+        tape.add(GateKind(kind), target=int(rng.integers(n)), angle=ang)
+arrs = tuple(map(jnp.asarray, tape.arrays()))
+x0 = tape.x0().astype(np.float32)
+map_idx = np.arange(len(x0), dtype=np.int32)
+psi0 = zero_state(n, jnp.complex64)
+psi0_ri = (np.real(psi0).astype(np.float32),
+           np.imag(psi0).astype(np.float32))
+opt = AngleOptimizer(ps.device_arrays(jnp.complex64), iters=15,
+                     n_starts=2, dtype=jnp.complex64, enable_2q=True,
+                     use_pallas=True)
+opt.pallas_interpret = True
+opt._pauli_obj = ps
+x, e, _ = opt.fused_step(psi0_ri, arrs, x0, tape.n_rots, arrs, map_idx,
+                         jax.random.PRNGKey(3))
+print(json.dumps({"x": np.asarray(x).tolist(), "e": float(e)}))
+"""
+    outs = {}
+    for flag in ("0", "1"):
+        env = dict(os.environ, TRLQAS_SU4_PMUL=flag, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[flag] = json.loads(r.stdout.strip().splitlines()[-1])
+    assert outs["1"]["e"] == pytest.approx(outs["0"]["e"], abs=2e-5)
+    np.testing.assert_allclose(outs["1"]["x"], outs["0"]["x"], atol=2e-5)
