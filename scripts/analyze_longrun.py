@@ -247,11 +247,39 @@ def main():
                         "config's topology key, else all_to_all); required "
                         "for summaries from runs launched with the CLI "
                         "--topology override")
+    p.add_argument("--trend", action="store_true",
+                   help="summarize the learning trend from events_<seed>."
+                        "jsonl (rolling per-episode best-error medians vs "
+                        "the warm-start gap — the round-5 'is it learning' "
+                        "telemetry)")
     args = p.parse_args()
 
     d = pathlib.Path(args.results_dir)
     family = args.family or d.parent.name + "/"
     cfg_name = args.config or d.name + ".cfg"
+
+    if args.trend:
+        ev_path = d / f"events_{args.seed}.jsonl"
+        rows = [json.loads(line) for line in open(ev_path)]
+        meds = [(r["iter"], r["episodes"], r.get("epsilon"),
+                 r["ep_best_med20"]) for r in rows if "ep_best_med20" in r]
+        out = {"events": len(rows),
+               "final": rows[-1] if rows else None}
+        if meds:
+            # one sample per 20-episode block (completion order)
+            blocks = {}
+            for it, ep, eps, m in meds:
+                blocks[ep // 20] = (it, ep, eps, m)
+            out["ep_best_med20_by_block"] = [
+                {"iter": v[0], "episodes": v[1], "epsilon": v[2],
+                 "med20": v[3]} for _, v in sorted(blocks.items())]
+            first, last = meds[0][3], meds[-1][3]
+            out["med20_first"] = first
+            out["med20_last"] = last
+            out["med20_improvement"] = first - last
+        print(json.dumps(out, indent=2))
+        return
+
     conf = get_config(family, cfg_name)
     tn_placement = "fixed" if "fixed" in family.lower() else "in_state"
     zero_params = bool(conf["env"].get("zero_param_init", 0))

@@ -160,7 +160,8 @@ def pauli_flip_groups(pauli, dtype=np.float32):
 def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                  flips: tuple, b1: float = 0.9, b2: float = 0.999,
                  eps: float = 1e-8, noise=None, stream_w: bool = False,
-                 dispatch: int = 2, per_env_psi0: bool = False):
+                 dispatch: int = 2, per_env_psi0: bool = False,
+                 pmul: bool = False):
     """``noise=(p1, p2)``: in-kernel depolarizing trajectories (same
     machinery as ops/pallas_opt.py v1 — TPU PRNG re-draws per Adam
     iteration, error Paulis ride the roll-based gate apply).
@@ -239,6 +240,33 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                              pltpu.roll(xc, (sr - s_r) % sr, 0))
 
         def permute(re, im, t):
+            if pmul:
+                # lane-bit exchange as ONE exact permutation matmul on the
+                # otherwise-idle MXU (VERDICT r4 item 2): P[i, j] =
+                # ((i ^ j) == m_lane) with m_lane = 0 (identity) for row
+                # bits, both planes stacked into one product; the row-bit
+                # part keeps the sublane roll select.
+                m_lane = jnp.where(t < _LOG_C,
+                                   1 << jnp.minimum(jnp.maximum(t, 0),
+                                                    _LOG_C - 1), 0)
+                ii = lax.broadcasted_iota(jnp.int32, (_C, _C), 0)
+                jj = lax.broadcasted_iota(jnp.int32, (_C, _C), 1)
+                p = ((ii ^ jj) == m_lane).astype(jnp.float32)
+                ab = jnp.concatenate([re, im], axis=0)
+                r2 = lax.dot_general(
+                    ab, p, (((1,), (0,)), ((), ())),
+                    precision=(lax.Precision.HIGHEST,
+                               lax.Precision.DEFAULT),
+                    preferred_element_type=jnp.float32)
+                xc_re, xc_im = r2[:sr], r2[sr:]
+                s_r = jnp.where(t >= _LOG_C,
+                                1 << jnp.maximum(t - _LOG_C, 0), 0)
+                b_r = (row_bits >> jnp.maximum(t - _LOG_C, 0)) & 1
+                row_hit = (b_r == 1) & (t >= _LOG_C)
+                return (jnp.where(row_hit, pltpu.roll(xc_re, s_r, 0),
+                                  pltpu.roll(xc_re, (sr - s_r) % sr, 0)),
+                        jnp.where(row_hit, pltpu.roll(xc_im, s_r, 0),
+                                  pltpu.roll(xc_im, (sr - s_r) % sr, 0)))
             return xor_dyn(re, t), xor_dyn(im, t)
 
         def xor_static(x, f):
@@ -716,6 +744,10 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
     _force = os.environ.get("TRLQAS_V2_DISPATCH")
     dispatch = ((2 if p0re.shape[-2] < DISPATCH_MAX_ROWS else 1)
                 if _force is None else int(_force))
+    # lane-bit partner exchanges as exact MXU permutation matmuls; off by
+    # default until the on-chip A/B (scripts/probe_mxu_fusion.py) shows a
+    # win — "1" forces on, "0" off
+    pmul = os.environ.get("TRLQAS_V2_PMUL", "0") == "1"
 
     per_env = np.asarray(p0re).ndim == 3
     if per_env and starts.shape[0] > cap:
@@ -739,7 +771,7 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
         return _fused_adam_step_call2d(
             o, nw, mi, p0re, p0im, wre, wim, flips, starts, active,
             iters=iters, lr=lr, interpret=interpret, noise=noise,
-            seeds=seeds, stream_w=stream_w, dispatch=dispatch)
+            seeds=seeds, stream_w=stream_w, dispatch=dispatch, pmul=pmul)
 
     if starts.shape[0] > cap:
         return _chunk_env_calls(call, old_arrs, new_arrs, map_idx,
@@ -750,18 +782,19 @@ def fused_adam_step_pallas2d(old_arrs, new_arrs, map_idx, p0re, p0im,
 
 @functools.partial(jax.jit,
                    static_argnames=("flips", "iters", "lr", "interpret",
-                                    "noise", "stream_w", "dispatch"))
+                                    "noise", "stream_w", "dispatch",
+                                    "pmul"))
 def _fused_adam_step_call2d(old_arrs, new_arrs, map_idx, p0re, p0im,
                             wre, wim, flips, starts, active, *,
                             iters: int, lr: float, interpret: bool = False,
                             noise=None, seeds=None, stream_w: bool = False,
-                            dispatch: int = 2):
+                            dispatch: int = 2, pmul: bool = False):
     n_env, s_batch, r = starts.shape
     per_env_psi0 = p0re.ndim == 3
     r_rows = p0re.shape[-2]
     kernel = _make_kernel(iters, lr, s_batch, r_rows, flips, noise=noise,
                           stream_w=stream_w, dispatch=dispatch,
-                          per_env_psi0=per_env_psi0)
+                          per_env_psi0=per_env_psi0, pmul=pmul)
     sr = s_batch * r_rows
 
     def spec(shape, mapper):

@@ -328,3 +328,42 @@ def test_v2_per_env_psi0_matches_shared():
             keys[i:i + 1])
         np.testing.assert_allclose(e_d[i], e_i[0], atol=1e-5)
         np.testing.assert_allclose(x_d[i], x_i[0], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_v2_pmul_matches_roll_path():
+    """TRLQAS_V2_PMUL=1 (lane-bit partner exchanges as exact MXU
+    permutation matmuls — VERDICT r4 item 2) must reproduce the roll
+    path's fused-step landing.  Env flag resolves per process, so each
+    variant runs in a fresh subprocess (CPU interpret mode)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import json
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, ".")
+from tests.test_pallas_opt2d import _setup
+n, gates, iters, s = 8, 18, 6, 2
+ps, opt, tape, arrs, x0, psi0_ri = _setup(n, gates, 3, iters, s, "v2")
+map_idx = np.arange(len(x0), dtype=np.int32)
+jarrs = tuple(map(jnp.asarray, arrs))
+x, e, _ = opt.fused_step(psi0_ri, jarrs, x0, tape.n_rots, jarrs, map_idx,
+                         jax.random.PRNGKey(9))
+print(json.dumps({"x": np.asarray(x).tolist(), "e": float(e)}))
+"""
+    outs = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for flag in ("0", "1"):
+        env = dict(os.environ, TRLQAS_V2_PMUL=flag, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[flag] = json.loads(r.stdout.strip().splitlines()[-1])
+    assert outs["1"]["e"] == pytest.approx(outs["0"]["e"], abs=2e-5)
+    np.testing.assert_allclose(outs["1"]["x"], outs["0"]["x"], atol=2e-5)
