@@ -184,6 +184,18 @@ def test_train_vectorized_writes_summary_npy(tmp_path):
     assert len(rec["actions"]) == len(rec["errors"]) > 0
     assert (tmp_path / "events_0.jsonl").exists()
     assert (tmp_path / "vec_0_agent.msgpack").exists()
+    # round-5 learning-trend telemetry: per-episode error streams in the
+    # returned summary and rolling medians in the event stream
+    assert len(summary["ep_final_errors"]) == summary["episodes"]
+    assert len(summary["ep_best_errors"]) == summary["episodes"]
+    assert summary["ep_best_errors"][0] == pytest.approx(
+        min(blob["train"][0]["errors"]))
+    assert np.isfinite(summary["warm_start_gap"])
+    import json as _json
+
+    events = [_json.loads(ln) for ln in open(tmp_path / "events_0.jsonl")]
+    assert any("ep_best_med20" in e for e in events)
+    assert all("epsilon" in e for e in events)
 
 
 @pytest.mark.slow
