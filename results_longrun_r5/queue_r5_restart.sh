@@ -39,7 +39,46 @@ timeout 900 python -u scripts/probe_mxu_fusion.py --sr 64,512 --lanes 256 \
 echo "=== mxu probe (256 lanes) exit=$? $(date)" >> "$LOG"
 touch $R/stage_b1.done
 
+# --- a1b. step-level pmul A/B: the production fused step (8q 2D kernel
+# + su4 composed kernel + 12q 2D kernel) with the permutation-matmul
+# lane exchanges off vs on.  Decides the flag for the 18q headline run
+# and the BENCH_r05 defaults.
 stop
+BENCH_SIZES=8,12 BENCH_NOISY=0 BENCH_SU4=1 BENCH_REPEATS=1 \
+  BENCH_WALL_BUDGET=900 TRLQAS_V2_PMUL=0 TRLQAS_SU4_PMUL=0 \
+  timeout 1000 python -u bench.py > $R/ab_pmul_off.log 2>&1
+echo "=== pmul A/B off-arm exit=$? $(date)" >> "$LOG"
+BENCH_SIZES=8,12 BENCH_NOISY=0 BENCH_SU4=1 BENCH_REPEATS=1 \
+  BENCH_WALL_BUDGET=900 TRLQAS_V2_PMUL=1 TRLQAS_SU4_PMUL=1 \
+  timeout 1000 python -u bench.py > $R/ab_pmul_on.log 2>&1
+echo "=== pmul A/B on-arm exit=$? $(date)" >> "$LOG"
+python - <<'EOF' > $R/pmul_flags.sh 2>> $LOG
+import json, re
+def last_json(path):
+    txt = open(path).read()
+    for line in reversed(txt.splitlines()):
+        if line.startswith('{'):
+            return json.loads(line)
+    return None
+try:
+    off = last_json('results_longrun_r5/ab_pmul_off.log')
+    on = last_json('results_longrun_r5/ab_pmul_on.log')
+    v2 = on['value'] > off['value'] * 1.02
+    s_on = on['extra_sizes'].get('8q_su4', {}).get('steps_per_sec', 0)
+    s_off = off['extra_sizes'].get('8q_su4', {}).get('steps_per_sec', 1e9)
+    su4 = s_on > s_off * 1.02
+    print(f"export TRLQAS_V2_PMUL={int(v2)}")
+    print(f"export TRLQAS_SU4_PMUL={int(su4)}")
+    print(f"# off 8q={off['value']} on 8q={on['value']} "
+          f"su4 off={s_off} on={s_on}")
+except Exception as exc:
+    print(f"# A/B decision failed ({exc}); keeping defaults")
+EOF
+echo "=== pmul decision: $(cat $R/pmul_flags.sh | tr '\n' ' ') $(date)" >> "$LOG"
+touch $R/stage_ab.done
+
+stop
+source $R/pmul_flags.sh 2>/dev/null || true
 # headline 18q RL train: eps anneals inside the window (per-replay decay
 # 0.9999 -> rescaled 0.9996, eps hits 0.1 ~iter 360 at 16 replays/iter);
 # demo-seeded with the mask-legal evolutionary champion (1.487 < warm gap
