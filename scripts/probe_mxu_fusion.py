@@ -11,9 +11,8 @@ Candidate formulations, all exact (no bf16 rounding of the state):
 
   roll1q   — current cls_rx-style: +/- lane roll pair + select per gate.
   mxu1q    — partner = x @ P with P[i,j] = ((i XOR j) == 2^t) built from
-             iotas in-kernel; P is 0/1 so the P operand is exact at
-             DEFAULT precision, and the state operand uses HIGHEST
-             (bf16x3 = exact f32 split) => 3 MXU passes per matmul.
+             iotas in-kernel; uniform HIGHEST precision (bf16x split =
+             exact f32; per-operand tuples are rejected by Mosaic).
   roll2q   — current su4 cls_r2q: TWO sequential dynamic XOR exchanges
              (4 rolls + selects) per RXX/RYY gate.
   mxu2q    — ONE matmul with P[i,j] = ((i XOR j) == (2^t XOR 2^c)): the
@@ -66,10 +65,12 @@ def _perm_mat(m):
 
 
 def _pmul(x, p):
-    """Exact permutation matmul: state split HIGHEST, 0/1 matrix DEFAULT."""
+    """Exact permutation matmul (uniform HIGHEST: Mosaic rejects
+    per-operand precision tuples on real TPU; the bf16x split is exact
+    for the 0/1 matrix operand regardless)."""
     return lax.dot_general(
         x, p, (((1,), (0,)), ((), ())),
-        precision=(lax.Precision.HIGHEST, lax.Precision.DEFAULT),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
@@ -296,12 +297,17 @@ def main():
             row["fused1q_speedup"] = (row["roll1q"]["per_gate_us"]
                                       / row["fused1q"]["per_gate_us"])
         results[sr] = row
-        print(f"SR={sr} exactness |diff| (mxu1q vs roll1q checksum): "
-              f"{check_exact(sr, args.k):.3e}", flush=True)
+        try:
+            print(f"SR={sr} exactness |diff| (mxu1q vs roll1q checksum): "
+                  f"{check_exact(sr, args.k):.3e}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"SR={sr} exactness check FAILED: "
+                  f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}",
+                  flush=True)
+        if args.out:   # incremental: keep partial results on timeout/crash
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1, default=str)
     print(json.dumps({str(k): v for k, v in results.items()}), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1, default=str)
 
 
 if __name__ == "__main__":

@@ -150,9 +150,12 @@ def _xor2_pair(a, b, t, c, d):
     j = lax.broadcasted_iota(jnp.int32, (d, d), 1)
     p = ((i ^ j) == m).astype(jnp.float32)
     ab = jnp.concatenate([a, b], axis=0)
+    # uniform HIGHEST: Mosaic rejects per-operand precision tuples on
+    # real TPU ("Per-operand dot precision unsupported", r5 probe); the
+    # bf16x-split pass is exact for the 0/1 matrix operand regardless
     r = lax.dot_general(
         ab, p, (((1,), (0,)), ((), ())),
-        precision=(lax.Precision.HIGHEST, lax.Precision.DEFAULT),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     h = a.shape[0]
     return r[:h], r[h:]

@@ -253,10 +253,11 @@ def _make_kernel(iters: int, lr: float, s_batch: int, r_rows: int,
                 jj = lax.broadcasted_iota(jnp.int32, (_C, _C), 1)
                 p = ((ii ^ jj) == m_lane).astype(jnp.float32)
                 ab = jnp.concatenate([re, im], axis=0)
+                # uniform HIGHEST: Mosaic rejects per-operand precision
+                # tuples on real TPU (r5 probe); exact either way
                 r2 = lax.dot_general(
                     ab, p, (((1,), (0,)), ((), ())),
-                    precision=(lax.Precision.HIGHEST,
-                               lax.Precision.DEFAULT),
+                    precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 xc_re, xc_im = r2[:sr], r2[sr:]
                 s_r = jnp.where(t >= _LOG_C,
