@@ -267,6 +267,25 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"# noisy bench failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+    # Opportunistic tail rows (largest sizes) run LAST so they can never
+    # crowd out the measured-baseline depol/su4 rows; each needs a
+    # comfortable budget slice (18q pays a multi-minute mega-kernel
+    # compile before its timed segment).
+    tail = os.environ.get("BENCH_TAIL_SIZES", "18")
+    for s in [int(x) for x in tail.split(",") if x.strip()]:
+        if s in results or s not in ROWS:
+            continue
+        if _remaining() < 700:
+            print(f"# skipping tail {s}q row ({_remaining():.0f}s left)",
+                  file=sys.stderr)
+            continue
+        try:
+            results[s] = bench_size(s)
+        except _BudgetExceeded as exc:
+            print(f"# {exc} — tail row skipped", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# tail {s}q bench failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
     if 8 not in results:
         return 1
     # measured csim+COBYLA baselines (scripts/bench_baseline_cobyla.py)
