@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "actually completes inside the window (0 = config)")
     p.add_argument("--eps_min", type=float, default=-1.0,
                    help="override [agent] epsilon_min (<0 = use config)")
+    p.add_argument("--init_eps", type=float, default=-1.0,
+                   help="override [agent] init_epsilon, the exploration "
+                        "rate at step 0 (<0 = use config / 1.0); lets a "
+                        "continuation window resume an annealed schedule "
+                        "without re-burning the pure-exploration ramp")
     p.add_argument("--accept_err", type=float, default=0.0,
                    help="override [env] accept_err AND the curriculum "
                         "thresholds with one value (bounded windows at "
@@ -172,6 +177,8 @@ def main(argv=None) -> int:
         conf["agent"]["epsilon_decay"] = args.eps_decay
     if args.eps_min >= 0.0:
         conf["agent"]["epsilon_min"] = args.eps_min
+    if args.init_eps >= 0.0:
+        conf["agent"]["init_epsilon"] = args.init_eps
     if args.block_coord:
         conf["env"]["block_coord_k"] = args.block_coord
     if args.batch_size:
