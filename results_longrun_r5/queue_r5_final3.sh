@@ -16,6 +16,13 @@ echo "=== queue_r5_final3 started $(date)" >> "$LOG"
 
 stop() { [ -f /tmp/stop_r5f3 ] && echo "r5f3 stopped by flag $(date)" >> "$LOG" && exit 0; }
 
+# wait (max 1 h) for take-2's 18q stage to release the chip
+for i in $(seq 360); do
+  [ -f $R/stage_a2.done ] && break
+  sleep 10
+done
+echo "=== queue_r5f3 proceeding $(date)" >> "$LOG"
+
 stop
 timeout 2700 python -u -m tensorrl_qas_tpu.train.cli --seed 3 \
   --config heisenberg_18q_TNbond2 --experiment_name TensorRL_fixed/ \
